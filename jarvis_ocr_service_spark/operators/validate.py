@@ -1,0 +1,120 @@
+"""Deterministic text-validity scoring.
+
+The reference validates each tier's output with a remote LLM call
+(`/root/reference/app/provider_manager.py:165-249`): "valid readable
+content vs garbled nonsense", returning ``(is_valid, confidence,
+reason<=200)``, failing *open* (assume valid) when the validator is
+unreachable. A remote nondeterministic call cannot sit in a reproducible
+100-TB pipeline, so this engine replaces it with a deterministic heuristic
+returning the same triple with the same gates:
+
+  * min-chars gate — exact reference semantics & message
+    (provider_manager.py:175-176: ``len(text.strip()) < 3`` ->
+    ``(False, 0.0, "Text too short or empty")``);
+  * garbled-nonsense detection — ratio of vowel-less ASCII words (the
+    text analog of OCR line noise);
+  * link-farm / boilerplate detection — ratio of short navigation-like
+    lines (the HTML analog of "garbled": a tier that failed to strip
+    boilerplate produces many short link captions);
+  * alphabetic-density floor;
+  * confidence clamped to [0,1] (provider_manager.py:240-241) and reason
+    capped to 200 chars (``:234-236``).
+
+Pure function of the text — shared verbatim between the pytest/DuckDB
+oracle and the Spark Arrow stage.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import pandas as pd
+
+from jarvis_ocr_service_spark.config import (
+    ALPHA_RATIO_MIN,
+    GARBLED_RATIO_MAX,
+    GARBLED_WORD_MIN_LEN,
+    MAX_REASON_CHARS,
+    MIN_VALID_CHARS,
+    SHORT_LINE_CHARS,
+    SHORT_LINE_RATIO_MAX,
+)
+
+_VOWELS = frozenset("aeiouyAEIOUY")
+
+
+def _clamp01(x: float) -> float:
+    return max(0.0, min(1.0, x))
+
+
+def validate_text(text: str) -> Tuple[bool, float, str]:
+    """Score extracted text. Returns (is_valid, confidence, reason<=200)."""
+    stripped = text.strip() if text else ""
+    if len(stripped) < MIN_VALID_CHARS:
+        # Exact reference gate + message (provider_manager.py:175-176).
+        return False, 0.0, "Text too short or empty"
+
+    n = len(stripped)
+    n_alpha = sum(1 for c in stripped if c.isalpha())
+    alpha_ratio = n_alpha / n
+
+    words = stripped.split()
+    ascii_words = [w for w in words if w.isascii() and any(c.isalpha() for c in w)]
+    garbled = [
+        w
+        for w in ascii_words
+        if len(w) >= GARBLED_WORD_MIN_LEN and not (_VOWELS & set(w))
+    ]
+    garbled_ratio = (len(garbled) / len(ascii_words)) if ascii_words else 0.0
+
+    lines = [l for l in stripped.split("\n") if l.strip()]
+    short_lines = [l for l in lines if len(l) < SHORT_LINE_CHARS]
+    short_line_ratio = (len(short_lines) / len(lines)) if lines else 1.0
+
+    confidence = _clamp01(
+        0.30
+        + 0.40 * alpha_ratio
+        + 0.20 * (1.0 - short_line_ratio)
+        + 0.10 * (1.0 - garbled_ratio)
+    )
+
+    if garbled_ratio > GARBLED_RATIO_MAX:
+        reason = (
+            f"Garbled nonsense: {len(garbled)}/{len(ascii_words)} words "
+            f"without vowels"
+        )
+        return False, 0.0, reason[:MAX_REASON_CHARS]
+
+    if alpha_ratio < ALPHA_RATIO_MIN:
+        reason = f"Low alphabetic density: {alpha_ratio:.2f}"
+        return False, 0.0, reason[:MAX_REASON_CHARS]
+
+    if short_line_ratio > SHORT_LINE_RATIO_MAX and len(lines) >= 4:
+        reason = (
+            f"Navigation-like content: {len(short_lines)}/{len(lines)} "
+            f"short lines"
+        )
+        return False, 0.0, reason[:MAX_REASON_CHARS]
+
+    reason = f"Readable content: alpha={alpha_ratio:.2f}, lines={len(lines)}"
+    return True, confidence, reason[:MAX_REASON_CHARS]
+
+
+def validate_series(s: pd.Series) -> pd.DataFrame:
+    """Vectorized wrapper: Series[str] -> DataFrame(is_valid, confidence, reason)."""
+    triples = s.fillna("").map(validate_text)
+    return pd.DataFrame(
+        {
+            "is_valid": triples.map(lambda t: t[0]),
+            "confidence": triples.map(lambda t: t[1]),
+            "reason": triples.map(lambda t: t[2]),
+        },
+        index=s.index,
+    )
+
+
+def min_valid_chars_col(col):
+    """The SQL-expressible part of the gate (F6): length(trim(x)) >= 3."""
+    from pyspark.sql import functions as F
+
+    return F.length(F.trim(F.coalesce(col, F.lit("")))) >= MIN_VALID_CHARS

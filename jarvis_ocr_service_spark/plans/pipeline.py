@@ -1,0 +1,179 @@
+"""The extraction pipeline: pages -> results (+ job-status aggregate).
+
+Two physical strategies for the same logical cascade (results proven
+identical by tests/test_pipeline.py):
+
+* ``fused`` (default, the 100-TB path): one ``mapInPandas`` stage runs the
+  whole per-row cascade. Zero shuffles end-to-end for extraction — a pure
+  map job; scan -> Arrow stage -> sink. Scales linearly with cores.
+* ``staged``: the SURVEY §4.2 filter-and-union layout — tier k runs only on
+  rows still invalid after tier k-1, composed with DataFrame filters +
+  unionByName. One Arrow crossing *per tier* and a recompute-or-cache
+  tradeoff; kept for A/B evidence and for heterogeneous-tier deployments.
+
+Aggregates (relational, JVM-side):
+* job/host status: ``success`` iff any row valid (reference bool_or rule,
+  app/queue_schemas.py:139-147) — `status_by_host`.
+* extraction counters per partition feed the checkpoint manifest.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jarvis_ocr_service_spark.config import AVAILABLE_TIERS, MAX_TEXT_BYTES
+from jarvis_ocr_service_spark.operators.cascade import PDF_MODE_PARSE
+from jarvis_ocr_service_spark.operators.udfs import make_extract_map_fn, run_extract
+from jarvis_ocr_service_spark.plans.skew import url_host
+
+
+def run_pipeline(
+    pages: DataFrame,
+    enabled_tiers: Optional[List[str]] = None,
+    pdf_mode: str = PDF_MODE_PARSE,
+    max_text_bytes: int = MAX_TEXT_BYTES,
+    strategy: str = "fused",
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> RESULTS_SCHEMA DataFrame."""
+    if strategy == "fused":
+        return run_extract(
+            pages,
+            enabled_tiers=enabled_tiers,
+            pdf_mode=pdf_mode,
+            max_text_bytes=max_text_bytes,
+        )
+    if strategy == "staged":
+        return _run_staged(pages, enabled_tiers, pdf_mode, max_text_bytes)
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def _run_staged(
+    pages: DataFrame,
+    enabled_tiers: Optional[List[str]],
+    pdf_mode: str,
+    max_text_bytes: int,
+) -> DataFrame:
+    """Filter-and-union tier cascade: each pass runs exactly one tier on the
+    rows every earlier tier rejected.
+
+    Implementation note: each single-tier pass reuses the same fused stage
+    restricted to one tier, so the per-tier semantics (including the
+    all-failed error row) stay shared. Rows accepted (or terminally
+    errored) at pass k leave the cascade; rows whose single-tier pass says
+    ``ocr_no_valid_output`` continue. The intermediate frame is cached —
+    without it every pass would re-scan + re-extract all earlier tiers.
+    """
+    from jarvis_ocr_service_spark.config import (
+        MSG_ALL_TIERS_FAILED,
+        get_tier_order,
+    )
+
+    tiers = get_tier_order(enabled_tiers if enabled_tiers is not None
+                           else AVAILABLE_TIERS)
+    src = pages.select("url", "warc_ts", "html", "lang")
+    # Cursor columns carried across passes: the last tier that *actually
+    # attempted* the row and its rejection reason (reference last_tier /
+    # last_error, worker.py:157-158).
+    remaining = src.withColumn("_prev_tier", F.lit(None).cast("string")).withColumn(
+        "_prev_reason", F.lit(None).cast("string")
+    )
+    accepted: List[DataFrame] = []
+    final_failed: Optional[DataFrame] = None
+
+    terminal = F.col("is_valid") | F.col("error_code").isin(
+        "unsupported_media", "image_not_found"
+    )
+    # A single-tier pass marks not-applicable/skipped rows with
+    # tier='unknown' + the all-failed message; a *real* attempt carries the
+    # tier name.
+    attempted = F.col("tier") != F.lit("unknown")
+
+    for i, tier in enumerate(tiers):
+        cursor = remaining.select("url", "_prev_tier", "_prev_reason")
+        pass_df = run_extract(
+            remaining,
+            enabled_tiers=[tier],
+            pdf_mode=pdf_mode,
+            max_text_bytes=max_text_bytes,
+        ).join(cursor, "url").persist()
+
+        accepted.append(pass_df.filter(terminal).drop("_prev_tier", "_prev_reason"))
+        failed = pass_df.filter(~terminal)
+        # Update the cursor from this pass where it really attempted.
+        failed = failed.withColumn(
+            "_prev_tier",
+            F.when(attempted, F.col("tier")).otherwise(F.col("_prev_tier")),
+        ).withColumn(
+            "_prev_reason",
+            F.when(attempted, F.col("validation_reason")).otherwise(
+                F.col("_prev_reason")
+            ),
+        )
+        if i < len(tiers) - 1:
+            remaining = failed.select("url", "_prev_tier", "_prev_reason").join(
+                src, "url"
+            )
+        else:
+            final_failed = failed
+
+    out = accepted[0]
+    for df in accepted[1:]:
+        out = out.unionByName(df)
+    if final_failed is not None:
+        # Re-attribute the all-tiers-failed row to the last tier that truly
+        # attempted it (reference worker.py:248-258: last_tier wins).
+        reason = F.coalesce(F.col("_prev_reason"), F.lit(MSG_ALL_TIERS_FAILED))
+        fixed = (
+            final_failed.withColumn(
+                "tier", F.coalesce(F.col("_prev_tier"), F.lit("unknown"))
+            )
+            .withColumn("validation_reason", reason)
+            .withColumn("error_message", reason)
+            .drop("_prev_tier", "_prev_reason")
+        )
+        out = out.unionByName(fixed)
+    return out.select(*accepted[0].columns)
+
+
+# ---------------------------------------------------------------------------
+# Aggregates over results
+# ---------------------------------------------------------------------------
+
+def status_by_host(results: DataFrame) -> DataFrame:
+    """Per-host completion status: 'success' iff >=1 valid row (A1 bool_or
+    rule) + extraction counters (A2/A6)."""
+    return (
+        results.withColumn("host", url_host(F.col("url")))
+        .groupBy("host")
+        .agg(
+            F.max(F.col("is_valid")).alias("any_valid"),
+            F.sum(F.col("is_valid").cast("int")).alias("valid_count"),
+            F.count(F.lit(1)).alias("total_count"),
+            F.sum(F.col("truncated").cast("int")).alias("truncated_count"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("any_valid"), F.lit("success")).otherwise(F.lit("failed")),
+        )
+    )
+
+
+def error_counters(results: DataFrame) -> DataFrame:
+    """Failure-rate-by-code counters (reference prds/queue-flow.md:469-479)."""
+    return (
+        results.groupBy(F.coalesce(F.col("error_code"), F.lit("ok")).alias("code"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def batch_escalation_gate(results: DataFrame, batch_col: str = "lang") -> DataFrame:
+    """A4: the HTTP-batch-mode all-valid gate — bool_and per batch decides
+    whole-batch tier escalation (provider_manager.py:437-464). Exposed as a
+    tested aggregate; the flagship semantic stays per-row."""
+    return results.groupBy(batch_col).agg(
+        F.min(F.col("is_valid")).alias("all_valid"),
+        F.count(F.lit(1)).alias("batch_size"),
+    )
