@@ -1,0 +1,279 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All signature computation is JVM-side (built-in functions over arrays —
+``transform``/``array_min``/``md5``), so the only Python in any of these
+is the SimHash bit-majority (vectorized pandas UDF). Shuffles happen only
+where semantically required (the bucket-join / group-by), and candidate
+generation is always *blocked* (LSH bands / shared shingles) — never an
+O(n²) cross join.
+
+Scale notes (100 TB):
+  * exact dedup — single hash-shuffle on a 16-byte digest, not the text;
+  * MinHash-LSH — signature is a narrow map-side projection; the explode
+    factor is `bands` (default 8) small rows per doc; the band join is the
+    one shuffle and AQE handles skewed buckets;
+  * SimHash — one Arrow stage for signatures, then the 4-band pigeonhole
+    join (Hamming<=3 guaranteed caught) on 16-bit keys;
+  * hash choices are md5/xxhash64 — deterministic, partition-independent,
+    and (for md5) reproducible in any SQL engine for oracle checks.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def text_digest(col):
+    """Canonical content digest: md5 of the UTF-8 bytes (portable)."""
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min key) per distinct text. One shuffle on the digest."""
+    return (
+        df.withColumn("_digest", text_digest(F.col(text_col)))
+        .groupBy("_digest")
+        .agg(F.min(key_col).alias(key_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_digest")
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(digest, count) for groups with >1 member."""
+    return (
+        df.groupBy(text_digest(F.col(text_col)).alias("digest"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+def word_shingles(col, k: int = 3):
+    """Distinct k-word shingles as an array column (JVM-side)."""
+    toks = F.split(F.trim(col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col, num_hashes: int = 16, k: int = 3):
+    """Array of `num_hashes` minhash values.
+
+    Hash family: ``md5(shingle || '#' || seed)`` (string min over hex —
+    uniform, deterministic, portable to any SQL engine for oracles).
+    Entirely JVM-side: transform + array_min, no shuffle, no Python.
+    """
+    sh = word_shingles(col, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh, lambda s, seed=seed: F.md5(F.encode(F.concat(s, F.lit(f"#{seed}")), "UTF-8"))
+                )
+            )
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, verified with
+    exact shingle-set Jaccard. Returns (key_a, key_b, jaccard), key_a<key_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(key_col).alias("k"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    banded = sig.select(
+        "k",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.encode(
+                            F.array_join(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                            ),
+                            "UTF-8",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked by shared shingle)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-word shingles for every pair sharing at
+    least one shingle. Explode -> self-equi-join on the shingle (the
+    blocking key) -> per-pair intersection count -> Jaccard.
+    """
+    sh = df.select(
+        F.col(key_col).alias("k"), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    sizes = sh.select("k", F.size("sh").alias("n"))
+    ex = sh.select("k", F.explode("sh").alias("g"))
+    common = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.k") < F.col("b.k")))
+        .groupBy(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("k", "key_a").withColumnRenamed("n", "na"), "key_a")
+        .join(sizes.withColumnRenamed("k", "key_b").withColumnRenamed("n", "nb"), "key_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit SimHash over whitespace tokens (vectorized, Arrow-batched).
+
+    Token hash: first 8 bytes of md5 (deterministic everywhere); bit i of
+    the signature is the sign of the weighted bit-majority.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def one(text: str) -> int:
+        if not text:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = (h >> np.arange(64)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        sig = 0
+        for i in range(64):
+            if acc[i] > 0:
+                sig |= 1 << i
+        # map to signed int64 for Spark LongType
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for s in texts:
+        yield s.fillna("").map(one)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(sig) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into 4 16-bit bands;
+    any pair within Hamming<=3 agrees on >=1 band exactly — join per band,
+    then verify the true Hamming distance with bit_count (JVM-side).
+    """
+    sigs = df.select(
+        F.col(key_col).alias("k"), simhash64(F.col(text_col)).alias("sig")
+    )
+    banded = sigs.select(
+        "k",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )

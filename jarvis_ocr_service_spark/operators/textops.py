@@ -26,6 +26,10 @@ from jarvis_ocr_service_spark.config import MAX_TEXT_BYTES
 _RE_NEWLINES = re.compile(r"\r\n|\r")
 _RE_MULTI_NL = re.compile(r"\n{3,}")
 _RE_SPACES = re.compile(r" +")
+# Any whitespace other than ' '/'\n', a double space, or a space adjacent
+# to a newline — if absent, the per-line strip+collapse pass is an identity
+# (modulo the final strip), so we can skip it. One C-level scan.
+_RE_ODD_WS = re.compile(r"[^\S\n ]|  | \n|\n ")
 
 
 # ---------------------------------------------------------------------------
@@ -44,9 +48,16 @@ def normalize_text(text: str) -> str:
     """
     if not text:
         return ""
-    text = text.replace("\x00", "")
-    text = _RE_NEWLINES.sub("\n", text)
-    text = _RE_MULTI_NL.sub("\n\n", text)
+    if "\x00" in text:
+        text = text.replace("\x00", "")
+    if "\r" in text:
+        text = _RE_NEWLINES.sub("\n", text)
+    if "\n\n\n" in text:
+        text = _RE_MULTI_NL.sub("\n\n", text)
+    if _RE_ODD_WS.search(text) is None:
+        # fast path: per-line pass would be an identity; only edge
+        # whitespace remains, which strip() handles equivalently.
+        return text.strip()
     lines = text.split("\n")
     text = "\n".join(_RE_SPACES.sub(" ", line.strip()) for line in lines)
     return text.strip()

@@ -26,6 +26,7 @@ oracle and the Spark Arrow stage.
 
 from __future__ import annotations
 
+import re
 from typing import Tuple
 
 import pandas as pd
@@ -42,6 +43,22 @@ from jarvis_ocr_service_spark.config import (
 
 _VOWELS = frozenset("aeiouyAEIOUY")
 
+# Letter counting is one C-level regex pass (a per-char Python isalpha()
+# loop costs ~15ms on a 50KB doc — this is the validator's hot path).
+# Definition: "letters" = \w minus digits/underscore (Unicode-aware);
+# shared by oracle and UDF, so it IS the semantic, not an approximation.
+_RE_NON_ALPHA = re.compile(r"[\W\d_]+")
+_RE_HAS_LETTER = re.compile(r"[^\W\d_]")
+_RE_HAS_VOWEL = re.compile(r"[aeiouyAEIOUY]")
+
+# The heuristics scan only this prefix of the text. Reference-faithful:
+# the reference's LLM validator sees text[:500] only
+# (provider_manager.py:185-201, MAX_OCR_TEXT_IN_PROMPT) — we are more
+# generous. Also the 100-TB-correct design: validation cost is O(4KB)
+# per doc regardless of document size. The min-chars gate still applies
+# to the full text.
+VALIDATE_PREFIX_CHARS = 4096
+
 
 def _clamp01(x: float) -> float:
     return max(0.0, min(1.0, x))
@@ -54,20 +71,31 @@ def validate_text(text: str) -> Tuple[bool, float, str]:
         # Exact reference gate + message (provider_manager.py:175-176).
         return False, 0.0, "Text too short or empty"
 
-    n = len(stripped)
-    n_alpha = sum(1 for c in stripped if c.isalpha())
-    alpha_ratio = n_alpha / n
+    # Heuristics over a bounded prefix, cut at a word boundary so the last
+    # (possibly split) token never miscounts as garbled.
+    prefix = stripped[:VALIDATE_PREFIX_CHARS]
+    if len(stripped) > VALIDATE_PREFIX_CHARS:
+        cut = prefix.rfind(" ")
+        nl = prefix.rfind("\n")
+        cut = max(cut, nl)
+        if cut > 0:
+            prefix = prefix[:cut]
 
-    words = stripped.split()
-    ascii_words = [w for w in words if w.isascii() and any(c.isalpha() for c in w)]
-    garbled = [
-        w
-        for w in ascii_words
-        if len(w) >= GARBLED_WORD_MIN_LEN and not (_VOWELS & set(w))
-    ]
-    garbled_ratio = (len(garbled) / len(ascii_words)) if ascii_words else 0.0
+    n = len(prefix)
+    n_alpha = len(_RE_NON_ALPHA.sub("", prefix))
+    alpha_ratio = n_alpha / n if n else 0.0
 
-    lines = [l for l in stripped.split("\n") if l.strip()]
+    n_ascii_words = 0
+    n_garbled = 0
+    for w in prefix.split():
+        if not w.isascii() or not _RE_HAS_LETTER.search(w):
+            continue
+        n_ascii_words += 1
+        if len(w) >= GARBLED_WORD_MIN_LEN and not _RE_HAS_VOWEL.search(w):
+            n_garbled += 1
+    garbled_ratio = (n_garbled / n_ascii_words) if n_ascii_words else 0.0
+
+    lines = [l for l in prefix.split("\n") if l.strip()]
     short_lines = [l for l in lines if len(l) < SHORT_LINE_CHARS]
     short_line_ratio = (len(short_lines) / len(lines)) if lines else 1.0
 
@@ -80,7 +108,7 @@ def validate_text(text: str) -> Tuple[bool, float, str]:
 
     if garbled_ratio > GARBLED_RATIO_MAX:
         reason = (
-            f"Garbled nonsense: {len(garbled)}/{len(ascii_words)} words "
+            f"Garbled nonsense: {n_garbled}/{n_ascii_words} words "
             f"without vowels"
         )
         return False, 0.0, reason[:MAX_REASON_CHARS]

@@ -213,6 +213,60 @@ def synthesize_pages(spark, n_rows: int, seed: int = 42, num_partitions: int = N
     )
 
 
+def pages_from_documents(spark, sf_dir: str):
+    """Build a deterministic pages table from the driver's ``documents``
+    parquet (doc_id, text, lang, source, n_chars) — entirely JVM-side
+    (format_string/encode, no Python): every third doc is wrapped in a
+    boilerplate-heavy page (24-link nav + footer) so the tier cascade's
+    escalation path runs; the rest are clean pages accepted at tier-1.
+
+    Because ``documents.text`` is plain single-spaced words (no markup
+    chars), extraction round-trips to ``normalize_text(text)`` exactly —
+    which makes the *whole* Spark UDF chain oracle-checkable against pure
+    SQL on the original table (__spark_entry__.queries: extract_clean_html
+    / extract_boilerplate_strip).
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    nav = "".join(
+        f'<li><a href="/cat{k}">Category {k}</a></li>' for k in range(24)
+    )
+    boiler_head = f"<nav><ul>{nav}</ul></nav>"
+    boiler_foot = "<footer><a href='/about'>About</a> <a href='/tos'>Terms</a></footer>"
+    page = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.format_string(
+            "<!DOCTYPE html><html><head><title>doc %s</title></head><body>"
+            + boiler_head
+            + "<article><p>%s</p></article>"
+            + boiler_foot
+            + "</body></html>",
+            F.col("doc_id"),
+            F.col("text"),
+        ),
+    ).otherwise(
+        F.format_string(
+            "<!DOCTYPE html><html><head><title>doc %s</title></head><body>"
+            "<article><p>%s</p></article></body></html>",
+            F.col("doc_id"),
+            F.col("text"),
+        )
+    )
+    return docs.select(
+        F.format_string(
+            "https://site%s.example.org/docs/%s", F.col("doc_id") % 50, F.col("doc_id")
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("warc_ts"),
+        F.encode(page, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def expected_result(i: int, seed: int = 42, pdf_mode: str = "parse") -> Dict:
     """Golden oracle for row i: run the shared pure-Python cascade on the
     generated payload (single shared implementation => byte-identical)."""

@@ -1,0 +1,53 @@
+"""Structured-Streaming form of the extraction pipeline.
+
+The reference's worker loop is an unbounded blocking consumer
+(``while True: brpop`` — /root/reference/worker.py:397-420). Its Spark
+analog: ``readStream`` over the pages table directory, the same fused
+extraction cascade per micro-batch via ``foreachBatch``, and Spark's
+streaming checkpoint for exactly-once file tracking (subsumes the
+reference's requeue/attempt bookkeeping; a failed micro-batch replays and
+overwrites idempotently).
+
+``trigger(availableNow=True)`` drains the backlog and stops — the
+batch-resume twin of the manifest runner in plans/checkpoint.py; leave it
+off for a long-lived tail-the-table job.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from jarvis_ocr_service_spark.schema import PAGES_SCHEMA
+
+
+def run_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    pdf_mode: str = "parse",
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Start the streaming extraction job; returns the StreamingQuery."""
+    from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_path)
+
+    def process_batch(batch_df, batch_id: int):
+        results = run_pipeline(batch_df, pdf_mode=pdf_mode)
+        results.write.mode("append").parquet(output_path)
+
+    writer = (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,101 @@
+"""Exactly-once resume: kill-and-resume must equal a one-shot run —
+no duplicates, no gaps (north rule)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jarvis_ocr_service_spark.plans.checkpoint import (
+    committed_batches,
+    list_input_files,
+    manifest_counters,
+    read_committed,
+    run_checkpointed,
+)
+from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages"))
+    synthesize_pages(spark, N, num_partitions=6).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _collect_sorted(df):
+    return [
+        (r.url, r.text, r.tier, r.is_valid, r.error_code)
+        for r in df.select("url", "text", "tier", "is_valid", "error_code")
+        .orderBy("url")
+        .collect()
+    ]
+
+
+def test_file_listing_deterministic(spark, pages_dir):
+    files = list_input_files(spark, pages_dir)
+    assert files == sorted(files)
+    assert all(f.endswith(".parquet") for f in files)
+    assert len(files) == 6
+
+
+def test_one_shot_run_complete(spark, pages_dir, tmp_path):
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifest")
+    stats = run_checkpointed(spark, pages_dir, out, man, files_per_batch=2)
+    assert stats["complete"] and stats["ran"] == 3 and stats["skipped_committed"] == 0
+    result = read_committed(spark, out, man)
+    assert result.count() == N
+    c = manifest_counters(spark, man).collect()[0]
+    assert c.batches == 3 and c.rows == N
+
+
+def test_kill_and_resume_equals_one_shot(spark, pages_dir, tmp_path):
+    # one-shot reference run
+    out1, man1 = str(tmp_path / "o1"), str(tmp_path / "m1")
+    run_checkpointed(spark, pages_dir, out1, man1, files_per_batch=2)
+    expected = _collect_sorted(read_committed(spark, out1, man1))
+
+    # "killed" run: only 1 batch committed
+    out2, man2 = str(tmp_path / "o2"), str(tmp_path / "m2")
+    stats = run_checkpointed(spark, pages_dir, out2, man2, files_per_batch=2, max_batches=1)
+    assert not stats["complete"] and stats["ran"] == 1
+    assert committed_batches(spark, man2) == {0}
+
+    # resume: skips committed batch, finishes the rest
+    stats2 = run_checkpointed(spark, pages_dir, out2, man2, files_per_batch=2)
+    assert stats2["complete"]
+    assert stats2["skipped_committed"] == 1 and stats2["ran"] == 2
+
+    got = _collect_sorted(read_committed(spark, out2, man2))
+    assert got == expected  # no dupes, no gaps, identical content
+
+
+def test_orphan_batch_overwritten_not_duplicated(spark, pages_dir, tmp_path):
+    """Crash between data write and manifest commit: orphan data exists but
+    is not visible via read_committed, and resume overwrites it cleanly."""
+    out, man = str(tmp_path / "o3"), str(tmp_path / "m3")
+    # simulate: batch 0 committed, then batch 1's data written but manifest
+    # append "crashed" — emulate by running max_batches=1 then hand-writing
+    # an orphan dir for batch 1.
+    run_checkpointed(spark, pages_dir, out, man, files_per_batch=2, max_batches=1)
+    files = list_input_files(spark, pages_dir)
+    from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
+
+    orphan = run_pipeline(spark.read.parquet(*files[2:4]))
+    orphan.limit(3).write.mode("overwrite").parquet(f"{out}/batch_id=1")  # partial!
+
+    committed_view = read_committed(spark, out, man)
+    assert committed_view.count() == 40  # only batch 0 visible
+
+    run_checkpointed(spark, pages_dir, out, man, files_per_batch=2)
+    final = read_committed(spark, out, man)
+    assert final.count() == N  # orphan fully overwritten
+    assert final.select("url").distinct().count() == N
+
+
+def test_rerun_after_complete_is_noop(spark, pages_dir, tmp_path):
+    out, man = str(tmp_path / "o4"), str(tmp_path / "m4")
+    run_checkpointed(spark, pages_dir, out, man, files_per_batch=3)
+    stats = run_checkpointed(spark, pages_dir, out, man, files_per_batch=3)
+    assert stats["ran"] == 0 and stats["complete"]
+    assert read_committed(spark, out, man).count() == N

@@ -1,0 +1,37 @@
+"""Structured-Streaming form: drains backlog, exactly-once across restarts."""
+
+from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+from jarvis_ocr_service_spark.streaming.stream import run_stream
+
+
+def test_stream_drains_and_is_exactly_once(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = synthesize_pages(spark, 40, num_partitions=2)
+    first.write.mode("overwrite").parquet(pages_dir)
+
+    q = run_stream(spark, pages_dir, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert got.select("url").distinct().count() == 40
+
+    # append new files (disjoint url range); restart -> only new rows processed
+    more = synthesize_pages(spark, 60, num_partitions=2).filter(
+        "cast(regexp_extract(url, 'page-(\\\\d+)$', 1) as int) >= 40"
+    )
+    more.write.mode("append").parquet(pages_dir)
+    n_new = more.count()
+
+    q2 = run_stream(spark, pages_dir, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 40 + n_new
+    assert final.select("url").distinct().count() == 40 + n_new  # no reprocessing
+
+    # restart with no new data -> no-op
+    q3 = run_stream(spark, pages_dir, out, ckpt, available_now=True)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 40 + n_new
