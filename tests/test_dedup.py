@@ -1,0 +1,93 @@
+"""Dedup operators: exact, MinHash-LSH, n-gram Jaccard, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jarvis_ocr_service_spark.functions.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river"),
+    (1, "the quick brown fox jumps over the lazy dog near the river"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the creek"),  # near dup
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "another unrelated document mentioning parquet files and arrow batches"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bank today"),  # near dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs).collect()
+    kept = {r.doc_id: r.dup_count for r in out}
+    assert kept[0] == 2  # doc 1 collapsed into 0 (min key)
+    assert 1 not in kept
+    assert len(kept) == 5
+
+
+def test_exact_duplicate_groups(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n == 2
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "t string")
+    rows = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert rows[0].s == ["a b c", "b c d"]
+    assert rows[1].s == ["x y"]  # shorter than k -> whole text
+
+
+def test_minhash_signature_deterministic(docs):
+    a = {r.doc_id: r.sig for r in docs.select("doc_id", minhash_signature(F.col("text")).alias("sig")).collect()}
+    b = {r.doc_id: r.sig for r in docs.select("doc_id", minhash_signature(F.col("text")).alias("sig")).collect()}
+    assert a == b
+    assert a[0] == a[1]  # identical text -> identical signature
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.key_a, r.key_b) for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
+    assert (0, 1) in pairs  # exact dup
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup
+    # unrelated docs never pair
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.key_a, r.key_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) not in pairs
+
+
+def test_simhash_properties(docs):
+    sigs = {r.doc_id: r.sig for r in docs.select("doc_id", simhash64("text").alias("sig")).collect()}
+    assert sigs[0] == sigs[1]
+    ham = bin((sigs[0] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sigs[0] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far  # near dup closer than unrelated
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r.key_a, r.key_b): r.hamming for r in simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert not any((a in (3, 4)) ^ (b in (3, 4)) for (a, b) in pairs)
+
+
+def test_minhash_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    # word-soup corpus: verify it runs at scale shape and emits sane pairs
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.8).collect()
+    for r in pairs:
+        assert r.key_a < r.key_b and r.jaccard >= 0.8

@@ -56,3 +56,14 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_key_has_query():
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+)
+def test_rows_only_queries_run(spark, name):
+    """Queries without a SQL oracle (non-SQL-expressible ops) must still
+    run and produce a stable schema at sf0.01."""
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.columns  # schema resolvable
+    assert df.count() >= 0

@@ -1,0 +1,88 @@
+"""Similarity search: brute force exact, quantized oracle variant, LSH ANN."""
+
+import math
+
+import pytest
+
+from jarvis_ocr_service_spark.functions.simsearch import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+    quantized_dot_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.filter("vec_id = 0").first().embedding
+
+
+def _brute_force_py(rows, qvec, k):
+    qn = math.sqrt(sum(x * x for x in qvec))
+    scored = []
+    for r in rows:
+        d = sum(float(a) * float(b) for a, b in zip(r.embedding, qvec))
+        n = math.sqrt(sum(float(x) ** 2 for x in r.embedding))
+        scored.append((d / (n * qn), r.vec_id))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [v for _, v in scored[:k]]
+
+
+def test_cosine_topk_exact(emb, qvec):
+    got = [r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()]
+    exp = _brute_force_py(emb.collect(), qvec, 10)
+    assert got == exp
+    assert got[0] == 0  # self-similarity = 1.0
+
+
+def test_cosine_topk_plan_has_no_exchange_before_topk(emb, qvec):
+    plan = cosine_topk(emb, qvec, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_quantized_dot_matches_float_ranking_mostly(emb, qvec):
+    got = [r.vec_id for r in quantized_dot_topk(emb, qvec, k=5).collect()]
+    exp = _brute_force_py(emb.collect(), qvec, 20)
+    # quantization can reorder near-ties but the head must overlap strongly
+    assert got[0] == 0
+    assert len(set(got) & set(exp[:10])) >= 3
+
+
+def test_lsh_recall_vs_brute_force(emb, qvec):
+    exact = set(_brute_force_py(emb.collect(), qvec, 10))
+    ann = {r.vec_id for r in lsh_bucketed_topk(emb, qvec, k=10, n_planes=4, probe_hamming=2).collect()}
+    # multi-probe over 2^4 buckets scans ~11/16 of data -> high recall
+    assert len(ann & exact) >= 6
+    assert 0 in ann
+
+
+def test_lsh_scans_fewer_rows(emb, qvec, spark):
+    from jarvis_ocr_service_spark.functions.simsearch import _hyperplanes, lsh_bucket_col
+    from pyspark.sql import functions as F
+
+    planes = _hyperplanes(len(qvec), 4, 42)
+    counts = (
+        emb.withColumn("b", lsh_bucket_col(F.col("embedding"), planes))
+        .groupBy("b").count().collect()
+    )
+    assert len(counts) > 4  # buckets actually spread
+
+
+def test_embedding_near_dup_pairs_self(spark, emb):
+    # duplicate the table with shifted ids -> every vector has an exact twin
+    from pyspark.sql import functions as F
+
+    shifted = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    both = emb.unionByName(shifted)
+    pairs = embedding_near_dup_pairs(both, threshold=0.999999).collect()
+    found = {(r.key_a, r.key_b) for r in pairs}
+    n = emb.count()
+    exact_twins = {(i, i + 10000) for i in range(n)}
+    assert exact_twins <= found  # every twin found (same bucket guaranteed)

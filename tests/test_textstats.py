@@ -1,0 +1,92 @@
+"""Text analysis operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jarvis_ocr_service_spark.functions.textstats import (
+    bpe_ish_token_count_col,
+    fingerprint_md5_col,
+    lang_id_col,
+    quality_score_col,
+    rolling_hash64,
+    text_stats,
+    token_count_col,
+)
+
+ROWS = [
+    (0, "the cat and the dog sat in the house with the mouse"),
+    (1, "le chat et le chien est dans la maison avec une souris"),
+    (2, "der hund und die katze ist nicht mit einem haus"),
+    (3, "el perro y el gato es de la casa que un raton"),
+    (4, "il cane che la casa di un gatto per non una strada"),
+    (5, ""),
+    (6, "zzz qqq xxx"),
+    (7, "Hello, world! It's 2024 — and counting."),
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string").cache()
+
+
+def test_token_count(df):
+    got = {r.doc_id: r.n for r in df.select("doc_id", token_count_col(F.col("text")).alias("n")).collect()}
+    assert got[0] == 12
+    assert got[5] == 0
+    assert got[6] == 3
+
+
+def test_bpe_ish_token_count(df):
+    got = {r.doc_id: r.n for r in df.select("doc_id", bpe_ish_token_count_col(F.col("text")).alias("n")).collect()}
+    # "Hello, world! It's 2024 — and counting." ->
+    # Hello , world ! It ' s 2024 — and counting . = 12
+    assert got[7] == 12
+    assert got[5] == 0
+
+
+def test_lang_id(df):
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id_col(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "fr"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[4] == "it"
+    assert got[5] == "und"
+    assert got[6] == "und"
+
+
+def test_quality_score_bounds_and_ordering(df):
+    got = {r.doc_id: r.q for r in df.select("doc_id", quality_score_col(F.col("text")).alias("q")).collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[5] == 0.0
+    assert got[0] > got[6]  # real sentence beats consonant soup
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(0, "hello  world"), (1, "hello world"), (2, " hello world \r\n")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in df.select(fingerprint_md5_col(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_rolling_hash_deterministic_and_order_sensitive(spark):
+    df = spark.createDataFrame([("ab",), ("ba",), ("ab",), ("",)], "t string")
+    got = [r.h for r in df.select(rolling_hash64(F.col("t")).alias("h")).collect()]
+    assert got[0] == got[2]
+    assert got[0] != got[1]
+    assert got[3] == 0
+    # matches the scalar definition
+    assert got[0] == (ord("a") * 257 + ord("b")) % ((1 << 61) - 1)
+
+
+def test_text_stats_on_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    stats = text_stats(docs).collect()
+    assert len(stats) == 50
+    for r in stats:
+        assert r.n_tokens > 0 and r.n_bytes > 0
+        assert 0.0 <= r.quality <= 1.0
+        assert len(r.fingerprint) == 32
