@@ -377,6 +377,71 @@ def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2: base64 encode/decode compat (the reference moves bytes as
+    base64 because JSON can't carry binary; the engine never needs to,
+    but the operators exist for API-compat)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    # both Spark 4 and DuckDB may emit MIME-chunked base64 (Spark uses
+    # \r\n every 76 chars, DuckDB \n); strip to a canonical form
+    b64 = F.regexp_replace(F.base64(F.encode(F.col("text"), "UTF-8")), "[\r\n]", "")
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("roundtrip"),
+    )
+
+
+def _q_tesseract_lang_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: 2-letter -> tesseract 3-letter hint map with pass-through
+    default (reference tesseract_provider.py:42-46)."""
+    m = F.create_map(
+        F.lit("en"), F.lit("eng"), F.lit("fr"), F.lit("fra"),
+        F.lit("de"), F.lit("deu"), F.lit("es"), F.lit("spa"),
+        F.lit("it"), F.lit("ita"),
+    )
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.element_at(m, F.lower(F.col("lang"))), F.lower(F.col("lang"))).alias(
+            "tess_lang"
+        ),
+    )
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: JSON response parse with fallback (reference
+    llm_proxy_provider.py:272-277) — on the events.props JSON column."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_val"),
+    )
+
+
+def _q_events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16/T17: timestamp handling — hourly rollup of the events stream."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_top1_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-1 candidate per group, deterministic tie-break
+    (reference apple_vision top-candidate selection)."""
+    from pyspark.sql import Window
+
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("top_event"), F.col("value").alias("top_value"))
+    )
+
+
 QUERIES = {
     "flagship_extract": _q_flagship,
     "extract_boilerplate_strip": _q_extract_boilerplate_strip,
@@ -408,6 +473,12 @@ QUERIES = {
     "simhash_near_pairs": _q_simhash_pairs,
     "rolling_hash": _q_rolling_hash,
     "image_meta": _q_image_meta,
+    # API-compat scalar transforms
+    "base64_roundtrip": _q_base64_roundtrip,
+    "tesseract_lang_map": _q_tesseract_lang_map,
+    "json_props": _q_json_props,
+    "events_by_hour": _q_events_by_hour,
+    "top1_per_user": _q_top1_per_user,
 }
 
 
@@ -597,6 +668,37 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": f"""
             SELECT doc_id, md5({_duck_normalize('text')}) AS fingerprint
             FROM documents
+        """,
+        "base64_roundtrip": """
+            SELECT doc_id,
+                   replace(to_base64(encode(text)), chr(10), '') AS b64,
+                   decode(from_base64(to_base64(encode(text)))) AS roundtrip
+            FROM documents
+        """,
+        "tesseract_lang_map": """
+            SELECT doc_id,
+                   coalesce(CASE lower(lang)
+                     WHEN 'en' THEN 'eng' WHEN 'fr' THEN 'fra'
+                     WHEN 'de' THEN 'deu' WHEN 'es' THEN 'spa'
+                     WHEN 'it' THEN 'ita' ELSE NULL END,
+                     lower(lang)) AS tess_lang
+            FROM documents
+        """,
+        "json_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events
+        """,
+        "events_by_hour": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "top1_per_user": """
+            SELECT user_id, event_id AS top_event, value AS top_value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn = 1
         """,
         "quantized_dot_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
