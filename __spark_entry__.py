@@ -377,6 +377,53 @@ def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jobs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic queue-envelope table (FIXTURES.md §2 variants) derived
+    from doc_id — every validation rule gets both passing and failing rows."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 9 + 1).cast("int")
+    seq = F.sequence(F.lit(1), k)
+    return d.select(
+        F.col("doc_id").alias("job_id"),
+        F.when(F.col("doc_id") % 17 == 0, 999).otherwise(1).alias("schema_version"),
+        F.when(F.col("doc_id") % 19 == 0, "other.event")
+        .otherwise("ocr.extract_text.requested").alias("job_type"),
+        F.when(F.col("doc_id") % 23 == 0, "not-a-date")
+        .otherwise("2024-01-01T00:00:00Z").alias("created_at"),
+        F.when(F.col("doc_id") % 29 == 0, 0)
+        .otherwise((F.col("doc_id") % 3 + 1)).cast("int").alias("attempt"),
+        F.when(F.col("doc_id") % 31 == 0, "").otherwise("results").alias("reply_to"),
+        F.transform(
+            seq,
+            lambda j: F.when((F.col("doc_id") % 13 == 0) & (j == 1), "db")
+            .otherwise("local_path"),
+        ).alias("ref_kinds"),
+        F.transform(
+            seq,
+            lambda j: F.when(F.col("doc_id") % 11 == 0, F.lit(0).cast("long"))
+            .otherwise((j - 1).cast("long")),
+        ).alias("ref_indices"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long"))
+        .when(F.col("doc_id") % 37 == 0, (k + 1).cast("long"))
+        .otherwise(k.cast("long")).alias("image_count"),
+        F.when(F.col("doc_id") % 41 == 0, "")
+        .when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise("en").alias("options_language"),
+    )
+
+
+def _q_envelope_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jarvis_ocr_service_spark.operators.envelope import validate_envelope
+
+    out = validate_envelope(_jobs_from_documents(spark, sf_dir))
+    return out.select(
+        "job_id", "bad_schema_version", "bad_job_type", "bad_created_at",
+        "bad_attempt", "bad_reply_to", "bad_ref_count", "bad_ref_kind",
+        "bad_ref_index", "bad_image_count", "bad_language",
+        "error_code", "invalid_reason",
+    )
+
+
 def _q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T2: base64 encode/decode compat (the reference moves bytes as
     base64 because JSON can't carry binary; the engine never needs to,
@@ -474,6 +521,7 @@ QUERIES = {
     "rolling_hash": _q_rolling_hash,
     "image_meta": _q_image_meta,
     # API-compat scalar transforms
+    "envelope_validation": _q_envelope_validation,
     "base64_roundtrip": _q_base64_roundtrip,
     "tesseract_lang_map": _q_tesseract_lang_map,
     "json_props": _q_json_props,
@@ -668,6 +716,71 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": f"""
             SELECT doc_id, md5({_duck_normalize('text')}) AS fingerprint
             FROM documents
+        """,
+        "envelope_validation": """
+            WITH jobs AS (
+              SELECT doc_id AS job_id,
+                     CASE WHEN doc_id % 17 = 0 THEN 999 ELSE 1 END AS schema_version,
+                     CASE WHEN doc_id % 19 = 0 THEN 'other.event'
+                          ELSE 'ocr.extract_text.requested' END AS job_type,
+                     CASE WHEN doc_id % 23 = 0 THEN 'not-a-date'
+                          ELSE '2024-01-01T00:00:00Z' END AS created_at,
+                     CASE WHEN doc_id % 29 = 0 THEN 0
+                          ELSE CAST(doc_id % 3 + 1 AS INT) END AS attempt,
+                     CASE WHEN doc_id % 31 = 0 THEN '' ELSE 'results' END AS reply_to,
+                     list_transform(generate_series(1, (doc_id % 9 + 1)::int),
+                       j -> CASE WHEN doc_id % 13 = 0 AND j = 1 THEN 'db'
+                                 ELSE 'local_path' END) AS ref_kinds,
+                     list_transform(generate_series(1, (doc_id % 9 + 1)::int),
+                       j -> CASE WHEN doc_id % 11 = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE CAST(j - 1 AS BIGINT) END) AS ref_indices,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL
+                          WHEN doc_id % 37 = 0 THEN CAST(doc_id % 9 + 2 AS BIGINT)
+                          ELSE CAST(doc_id % 9 + 1 AS BIGINT) END AS image_count,
+                     CASE WHEN doc_id % 41 = 0 THEN ''
+                          WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE 'en' END AS options_language
+              FROM documents),
+            checked AS (
+              SELECT *,
+                len(ref_kinds) AS n_refs,
+                schema_version != 1 AS bad_schema_version,
+                job_type != 'ocr.extract_text.requested' AS bad_job_type,
+                try_cast(regexp_replace(created_at, 'Z$', '+00:00') AS TIMESTAMPTZ)
+                  IS NULL AS bad_created_at,
+                coalesce(attempt, 0) < 1 AS bad_attempt,
+                coalesce(reply_to, '') = '' AS bad_reply_to,
+                NOT (len(ref_kinds) BETWEEN 1 AND 8) AS bad_ref_count,
+                len(list_filter(ref_kinds,
+                    k -> k NOT IN ('local_path','s3','minio'))) > 0 AS bad_ref_kind,
+                (len(list_distinct(ref_indices)) != len(ref_indices))
+                  OR len(list_filter(ref_indices, i -> i < 0)) > 0 AS bad_ref_index,
+                coalesce(image_count, len(ref_kinds)) != len(ref_kinds)
+                  AS bad_image_count,
+                options_language IS NOT NULL AND options_language = ''
+                  AS bad_language
+              FROM jobs)
+            SELECT job_id, bad_schema_version, bad_job_type, bad_created_at,
+                   bad_attempt, bad_reply_to, bad_ref_count, bad_ref_kind,
+                   bad_ref_index, bad_image_count, bad_language,
+                   CASE WHEN bad_schema_version OR bad_job_type OR bad_created_at
+                          OR bad_attempt OR bad_reply_to OR bad_ref_count
+                          OR bad_ref_kind OR bad_ref_index OR bad_image_count
+                          OR bad_language
+                        THEN 'schema_invalid' END AS error_code,
+                   substr(CASE
+                     WHEN bad_schema_version THEN 'bad_schema_version'
+                     WHEN bad_job_type THEN 'bad_job_type'
+                     WHEN bad_created_at THEN 'bad_created_at'
+                     WHEN bad_attempt THEN 'bad_attempt'
+                     WHEN bad_reply_to THEN 'bad_reply_to'
+                     WHEN bad_ref_count THEN 'bad_ref_count'
+                     WHEN bad_ref_kind THEN 'bad_ref_kind'
+                     WHEN bad_ref_index THEN 'bad_ref_index'
+                     WHEN bad_image_count THEN 'bad_image_count'
+                     WHEN bad_language THEN 'bad_language' END, 1, 200)
+                   AS invalid_reason
+            FROM checked
         """,
         "base64_roundtrip": """
             SELECT doc_id,

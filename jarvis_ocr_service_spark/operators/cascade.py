@@ -39,7 +39,10 @@ from jarvis_ocr_service_spark.config import (
     get_tier_order,
 )
 from jarvis_ocr_service_spark.operators import dispatch
-from jarvis_ocr_service_spark.operators.extract_html import extract_main, extract_raw
+from jarvis_ocr_service_spark.operators.extract_html import (
+    extract_main_blocks,
+    extract_raw_blocks,
+)
 from jarvis_ocr_service_spark.operators.extract_image import OcrUnavailable, ocr_image
 from jarvis_ocr_service_spark.operators.extract_pdf import extract_pdf_text
 from jarvis_ocr_service_spark.operators.textops import (
@@ -55,16 +58,25 @@ PDF_MODE_REJECT = "reject"  # reference v1 semantics
 PDF_MODE_PARSE = "parse"  # north-rule layout branch (default)
 
 
-def _tier_extract(tier: str, kind: str, payload: bytes, lang: str):
+def _tier_extract(tier: str, kind: str, payload: bytes, lang: str, ctx: Dict):
     """Run one tier on one payload. Returns (text, spans) or None when the
     tier is not applicable/available for this content kind (-> skipped,
-    like an unavailable reference provider)."""
+    like an unavailable reference provider).
+
+    ``ctx`` is a per-document scratch cache: the DOM is parsed once and
+    shared between the HTML tiers (tier-2 re-scores the same blocks it
+    would re-parse identically — pure functions make the reuse exact, and
+    escalated rows get ~2x cheaper).
+    """
     if kind == dispatch.KIND_HTML:
-        html = payload.decode("utf-8", errors="replace")
+        if "blocks" not in ctx:
+            from jarvis_ocr_service_spark.operators.extract_html import parse_blocks
+
+            ctx["blocks"] = parse_blocks(payload.decode("utf-8", errors="replace"))
         if tier == "tesseract":
-            return extract_raw(html)
+            return extract_raw_blocks(ctx["blocks"])
         if tier == "easyocr":
-            return extract_main(html)
+            return extract_main_blocks(ctx["blocks"])
         return None
     if kind == dispatch.KIND_TEXT:
         if tier == "tesseract":
@@ -136,9 +148,10 @@ def extract_document(
 
     last_tier: Optional[str] = None
     last_error: Optional[str] = None
+    ctx: Dict = {}
     for tier in tier_order:
         try:
-            extracted = _tier_extract(tier, kind, payload, lang)
+            extracted = _tier_extract(tier, kind, payload, lang, ctx)
         except OcrUnavailable:
             continue  # provider not available -> skip silently (worker.py:159-161)
         except Exception as e:  # tier crash -> try next (worker.py:231-239)

@@ -183,17 +183,26 @@ def _assemble(blocks: List[Block]) -> Tuple[str, List[Tuple[int, int, str]]]:
     return "\n".join(parts), spans
 
 
+def extract_raw_blocks(blocks: List[Block]) -> Tuple[str, List[Tuple[int, int, str]]]:
+    """Tier-1 over pre-parsed blocks: full visible text, boilerplate
+    included (cheapest pass)."""
+    return _assemble(blocks)
+
+
+def extract_main_blocks(blocks: List[Block]) -> Tuple[str, List[Tuple[int, int, str]]]:
+    """Tier-2 over pre-parsed blocks: main content only — boilerplate
+    subtrees and link-dense blocks removed."""
+    return _assemble(
+        [b for b in blocks if not b.boiler and b.link_density <= LINK_DENSITY_MAX]
+    )
+
+
 def extract_raw(html: str) -> Tuple[str, List[Tuple[int, int, str]]]:
-    """Tier-1: full visible text, boilerplate included (cheapest pass)."""
-    return _assemble(parse_blocks(html))
+    """Tier-1 from markup (parse + assemble). The cascade parses once and
+    uses the *_blocks forms to share the DOM between tiers."""
+    return extract_raw_blocks(parse_blocks(html))
 
 
 def extract_main(html: str) -> Tuple[str, List[Tuple[int, int, str]]]:
-    """Tier-2: main content only — boilerplate subtrees and link-dense
-    blocks removed."""
-    blocks = [
-        b
-        for b in parse_blocks(html)
-        if not b.boiler and b.link_density <= LINK_DENSITY_MAX
-    ]
-    return _assemble(blocks)
+    """Tier-2 from markup."""
+    return extract_main_blocks(parse_blocks(html))

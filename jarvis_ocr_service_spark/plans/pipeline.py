@@ -161,6 +161,59 @@ def status_by_host(results: DataFrame) -> DataFrame:
     )
 
 
+def completion_messages(results: DataFrame, job_col: str = "url") -> DataFrame:
+    """Assemble the reference's ``ocr.completed`` envelope per job
+    (app/queue_schemas.py:123-173): ``results[]`` ordered by image index,
+    ``payload.status`` from the any-valid rule, constant envelope fields.
+
+    ``job_col`` groups rows into jobs (host by default — a web-corpus job
+    is "everything from one site in this batch"). Index = arrival order
+    within the job (deterministic: url sort). uuid/created_at are stamped
+    at write time and excluded from golden comparison (SURVEY T16).
+    """
+    from pyspark.sql import Window
+
+    host = url_host(F.col("url")).alias("job_key")
+    w = Window.partitionBy("job_key").orderBy("url")
+    per_image = results.select(
+        host,
+        F.col("url"),
+        F.col("text").alias("ocr_text"),
+        F.col("truncated"),
+        F.struct(
+            F.col("language"),
+            F.col("confidence"),
+            F.col("text_len"),
+            F.col("is_valid"),
+            F.col("tier"),
+            F.col("validation_reason"),
+        ).alias("meta"),
+    ).withColumn("index", (F.row_number().over(w) - 1).cast("long"))
+    grouped = per_image.groupBy("job_key").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("index", "url", "ocr_text", "truncated", "meta")
+            )
+        ).alias("results"),
+        F.max(F.col("meta.is_valid")).alias("_any_valid"),
+    )
+    return grouped.select(
+        F.lit(1).alias("schema_version"),
+        F.expr("uuid()").alias("job_id"),
+        F.lit("ocr.completed").alias("job_type"),
+        F.lit("jarvis-ocr-service-spark").alias("source"),
+        F.col("job_key").alias("workflow_id"),
+        F.current_timestamp().alias("created_at"),
+        F.lit(1).alias("attempt"),
+        F.struct(
+            F.when(F.col("_any_valid"), F.lit("success"))
+            .otherwise(F.lit("failed"))
+            .alias("status"),
+            F.col("results"),
+        ).alias("payload"),
+    )
+
+
 def error_counters(results: DataFrame) -> DataFrame:
     """Failure-rate-by-code counters (reference prds/queue-flow.md:469-479)."""
     return (
