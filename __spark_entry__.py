@@ -377,6 +377,58 @@ def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy demo: fact (orders) x dims (customer, nation) with the
+    dims explicitly broadcast — at 10^12 fact rows the dims are the only
+    broadcastable side, and a shuffle join on them would be the bottleneck."""
+    orders = _tbl(spark, sf_dir, "orders")
+    customer = _tbl(spark, sf_dir, "customer")
+    nation = _tbl(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # integer cents: exact, order-independent, identical in any
+            # engine (a double sum is order-dependent; decimals map to
+            # different client types per engine)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+def _q_events_top_users_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed workload: stream table x broadcast dim + windowed top-k."""
+    from pyspark.sql import Window
+
+    events = _tbl(spark, sf_dir, "events")
+    customer = _tbl(spark, sf_dir, "customer")
+    joined = events.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("user_id"), "c_nationkey")),
+        "user_id",
+    )
+    per_user = joined.groupBy("c_nationkey", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("n_events"), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "user_id", "n_events", "rk")
+    )
+
+
 def _jobs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic queue-envelope table (FIXTURES.md §2 variants) derived
     from doc_id — every validation rule gets both passing and failing rows."""
@@ -520,6 +572,9 @@ QUERIES = {
     "simhash_near_pairs": _q_simhash_pairs,
     "rolling_hash": _q_rolling_hash,
     "image_meta": _q_image_meta,
+    # joins (broadcast strategy)
+    "orders_by_nation": _q_orders_by_nation,
+    "events_top_users_by_nation": _q_events_top_users_by_nation,
     # API-compat scalar transforms
     "envelope_validation": _q_envelope_validation,
     "base64_roundtrip": _q_base64_roundtrip,
@@ -716,6 +771,26 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": f"""
             SELECT doc_id, md5({_duck_normalize('text')}) AS fingerprint
             FROM documents
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_top_users_by_nation": """
+            SELECT c_nationkey, user_id, n_events, rk FROM (
+              SELECT c.c_nationkey, e.user_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     row_number() OVER (
+                       PARTITION BY c.c_nationkey
+                       ORDER BY count(*) DESC, e.user_id) AS rk
+              FROM events e JOIN customer c ON e.user_id = c.c_custkey
+              GROUP BY c.c_nationkey, e.user_id)
+            WHERE rk <= 3
         """,
         "envelope_validation": """
             WITH jobs AS (

@@ -70,9 +70,10 @@ def _tier_extract(tier: str, kind: str, payload: bytes, lang: str, ctx: Dict):
     """
     if kind == dispatch.KIND_HTML:
         if "blocks" not in ctx:
+            from jarvis_ocr_service_spark.operators.charset import decode_payload
             from jarvis_ocr_service_spark.operators.extract_html import parse_blocks
 
-            ctx["blocks"] = parse_blocks(payload.decode("utf-8", errors="replace"))
+            ctx["blocks"] = parse_blocks(decode_payload(payload))
         if tier == "tesseract":
             return extract_raw_blocks(ctx["blocks"])
         if tier == "easyocr":
@@ -80,7 +81,9 @@ def _tier_extract(tier: str, kind: str, payload: bytes, lang: str, ctx: Dict):
         return None
     if kind == dispatch.KIND_TEXT:
         if tier == "tesseract":
-            text = payload.decode("utf-8", errors="replace")
+            from jarvis_ocr_service_spark.operators.charset import decode_payload
+
+            text = decode_payload(payload)
             return text, [(0, len(text), "text")] if text else []
         return None
     if kind == dispatch.KIND_PDF:
@@ -163,6 +166,12 @@ def extract_document(
 
         text, spans = extracted
         norm = normalize_text(text)
+        if norm != text:
+            # normalization moved characters -> raw-text offsets are stale.
+            # (HTML assembly is normalize-stable so this only triggers for
+            # text/pdf/image payloads with noisy whitespace.) Re-span on
+            # the normalized text: one span per line.
+            spans = _line_spans(norm, spans[0][2] if spans else "text")
         is_valid, confidence, reason = validate_text(norm)
         if is_valid:
             final_text, was_truncated = truncate_text(norm, max_text_bytes)
@@ -195,6 +204,16 @@ def extract_document(
         tier=last_tier or "unknown",
         reason=validation_reason,
     )
+
+
+def _line_spans(text: str, tag: str) -> List[Span]:
+    spans: List[Span] = []
+    pos = 0
+    for line in text.split("\n"):
+        if line:
+            spans.append((pos, pos + len(line), tag))
+        pos += len(line) + 1
+    return spans
 
 
 def _clip_spans(spans: List[Span], text_len: int) -> List[Span]:

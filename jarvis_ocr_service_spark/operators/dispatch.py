@@ -24,6 +24,11 @@ KIND_TEXT = "text"
 KIND_EMPTY = "empty"
 
 
+_BOM_UTF8 = b"\xef\xbb\xbf"
+_BOM_UTF16_LE = b"\xff\xfe"
+_BOM_UTF16_BE = b"\xfe\xff"
+
+
 def sniff_kind(payload: bytes) -> str:
     """Classify payload bytes. Pure function; total (never raises)."""
     if not payload:
@@ -36,9 +41,34 @@ def sniff_kind(payload: bytes) -> str:
         or payload.startswith(_GIF_MAGICS)
     ):
         return KIND_IMAGE
-    head = payload[:256].lstrip()
-    if head[:1] == b"<":
+    head = payload[:128]
+    # See through Unicode BOMs so UTF-16/BOM'd HTML routes to the DOM tier.
+    # UTF-16: skip whitespace *pairs* in the BOM's byte order, then expect
+    # the '<' pair (same pattern as the hex-based Column form below).
+    if head.startswith(_BOM_UTF16_LE):
+        return _u16_head_is_html(head[2:], le=True)
+    if head.startswith(_BOM_UTF16_BE):
+        return _u16_head_is_html(head[2:], le=False)
+    if head.startswith(_BOM_UTF8):
+        head = head[3:]
+    if head.lstrip()[:1] == b"<":
         return KIND_HTML
+    return KIND_TEXT
+
+
+_WS_BYTES = frozenset(b" \t\n\r\x0b\x0c")
+
+
+def _u16_head_is_html(body: bytes, le: bool) -> str:
+    i = 0
+    while i + 1 < len(body):
+        ch, nul = (body[i], body[i + 1]) if le else (body[i + 1], body[i])
+        if nul != 0:
+            return KIND_TEXT
+        if ch in _WS_BYTES:
+            i += 2
+            continue
+        return KIND_HTML if ch == ord("<") else KIND_TEXT
     return KIND_TEXT
 
 
@@ -58,11 +88,25 @@ def content_kind_col(col):
         .when(F.substring(col, 1, 3) == F.lit(_JPEG_MAGIC), KIND_IMAGE)
         .when(F.substring(col, 1, 6) == F.lit(_GIF_MAGICS[0]), KIND_IMAGE)
         .when(F.substring(col, 1, 6) == F.lit(_GIF_MAGICS[1]), KIND_IMAGE)
-        .when(
-            # decode is lossy on arbitrary binary, but the '<' sniff only
-            # needs the ASCII prefix, which UTF-8 decodes stably.
-            F.decode(F.substring(col, 1, 256), "UTF-8").rlike(r"^\s*<"),
-            KIND_HTML,
-        )
+        .when(_html_head_col(col), KIND_HTML)
         .otherwise(KIND_TEXT)
+    )
+
+
+def _html_head_col(col):
+    """Mirror of the pure function's '<'-sniff, built on hex() so it is
+    total on arbitrary binary (Spark 4's string `decode` THROWS on
+    malformed UTF-8 — MALFORMED_CHARACTER_CODING — so no decode here).
+    Pattern: optional BOM, then whitespace bytes in the BOM's encoding,
+    then '<'."""
+    from pyspark.sql import functions as F
+
+    h = F.hex(F.substring(col, 1, 128))  # uppercase hex pairs
+    ws = "(20|09|0A|0D|0B|0C)"
+    ws_le = "(2000|0900|0A00|0D00|0B00|0C00)"
+    ws_be = "(0020|0009|000A|000D|000B|000C)"
+    return (
+        h.rlike(f"^(EFBBBF)?{ws}*3C")  # plain / UTF-8(-BOM)
+        | h.rlike(f"^FFFE{ws_le}*3C00")  # UTF-16 LE BOM
+        | h.rlike(f"^FEFF{ws_be}*003C")  # UTF-16 BE BOM
     )

@@ -6,8 +6,16 @@ from jarvis_ocr_service_spark.operators.dispatch import content_kind_col, sniff_
 from jarvis_ocr_service_spark.operators.extract_pdf import build_minimal_pdf
 from jarvis_ocr_service_spark.sources.pages import _PNG_BYTES
 
+import codecs
+
 CASES = [
     (b"", "empty"),
+    (codecs.BOM_UTF16_LE + "<html>x</html>".encode("utf-16-le"), "html"),
+    (codecs.BOM_UTF16_BE + "  <html>x</html>".encode("utf-16-be"), "html"),
+    (codecs.BOM_UTF8 + b"<html>x</html>", "html"),
+    (codecs.BOM_UTF16_LE + "plain words".encode("utf-16-le"), "text"),
+    (b"\x00<html>", "text"),  # NUL without BOM stays text
+    (b"junk \xff\xfe mid", "text"),  # BOM bytes mid-payload: not a BOM
     (b"%PDF-1.4 rest", "pdf"),
     (_PNG_BYTES, "image"),
     (b"\xff\xd8\xff\xe0jpeg", "image"),

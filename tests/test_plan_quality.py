@@ -57,6 +57,15 @@ def test_dedup_exact_single_shuffle(spark):
     assert "partial_" in plan
 
 
+def test_dim_joins_are_broadcast(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["orders_by_nation"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_results_filter_pushdown_on_written_output(spark, pages_path, tmp_path):
     out = str(tmp_path / "results")
     run_pipeline(spark.read.parquet(pages_path)).write.parquet(out)
