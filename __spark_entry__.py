@@ -347,6 +347,20 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, qvec, k=10, n_planes=4, probe_hamming=2)
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked. Self-test corpus:
+    each vector unioned with an exact twin (vec_id+100000) — every twin
+    pair must be found (same bucket guaranteed). Rows-only check (float
+    cosine); exactness covered by tests/test_simsearch.py."""
+    from jarvis_ocr_service_spark.functions.simsearch import embedding_near_dup_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    shifted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_near_dup_pairs(emb.unionByName(shifted), threshold=0.999)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jarvis_ocr_service_spark.functions.dedup import simhash_near_pairs
 
@@ -570,6 +584,7 @@ QUERIES = {
     "cosine_topk": _q_cosine_topk,
     "lsh_bucketed_topk": _q_lsh_topk,
     "simhash_near_pairs": _q_simhash_pairs,
+    "embedding_near_dups": _q_embedding_near_dups,
     "rolling_hash": _q_rolling_hash,
     "image_meta": _q_image_meta,
     # joins (broadcast strategy)

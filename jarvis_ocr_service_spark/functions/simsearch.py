@@ -166,6 +166,102 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probed lists
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[List[float]]:
+    """Deterministic coarse quantizer: seeds = the ``n_centroids`` vectors
+    with the smallest ids, then ``iters`` Lloyd steps. Each step is one
+    distributed pass (assignment JVM-side against broadcast centroid
+    literals, centroid update via groupBy mean) + a tiny driver collect of
+    the k centroids — the standard Spark shape for iterative algorithms.
+    """
+    seeds = (
+        df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            _nearest_centroid_col(F.col(vec_col), centroids).alias("c"),
+        )
+        rows = (
+            assigned.groupBy("c")
+            .agg(
+                F.array(
+                    *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
+                ).alias("mean_v"),
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in rows:
+            new[r["c"]] = [float(x) for x in r["mean_v"]]
+        centroids = new
+    return centroids
+
+
+def _nearest_centroid_col(vec_col, centroids: List[List[float]]):
+    """argmin_c ||v - c||^2 as a JVM expression (expanded: c.c - 2 v.c;
+    v.v constant per row). Strictly-less update -> deterministic ties."""
+    v = vec_col.cast("array<double>")
+    best_idx = F.lit(0)
+    best_score = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cc = float(sum(x * x for x in c))
+        score = F.lit(cc) - 2.0 * _dot(v, carr)
+        if best_score is None:
+            best_score = score
+        else:
+            better = score < best_score
+            best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+            best_score = F.when(better, score).otherwise(best_score)
+    return best_idx
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    centroids: Optional[List[List[float]]] = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: score only vectors assigned to the ``n_probe`` centroids
+    nearest the query. At scale the assignment is a persisted column and
+    the probe a partition-pruned scan; here it is computed inline."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_centroids, vec_col=vec_col, id_col=id_col)
+    q = [float(x) for x in query_vec]
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(q, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:n_probe]
+    assigned = df.withColumn("_list", _nearest_centroid_col(F.col(vec_col), centroids))
+    cand = assigned.filter(F.col("_list").isin(probe))
+    qcol = F.array(*[F.lit(x) for x in q])
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_col(F.col(vec_col).cast("array<double>"), qcol).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -75,6 +75,35 @@ def test_lsh_scans_fewer_rows(emb, qvec, spark):
     assert len(counts) > 4  # buckets actually spread
 
 
+def test_ivf_centroids_deterministic_and_topk_recall(emb, qvec):
+    from jarvis_ocr_service_spark.functions.simsearch import ivf_topk, train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, n_centroids=8, iters=2)
+    c2 = train_ivf_centroids(emb, n_centroids=8, iters=2)
+    assert c1 == c2  # deterministic training
+    exact = set(_brute_force_py(emb.collect(), qvec, 10))
+    ann = {r.vec_id for r in ivf_topk(emb, qvec, k=10, centroids=c1, n_probe=4).collect()}
+    assert 0 in ann  # the query's own vector is in a probed list
+    assert len(ann & exact) >= 5  # probing half the lists -> decent recall
+
+
+def test_ivf_probes_fewer_rows_than_full_scan(emb, qvec, spark):
+    from pyspark.sql import functions as F
+
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        _nearest_centroid_col,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=2)
+    sizes = (
+        emb.withColumn("l", _nearest_centroid_col(F.col("embedding"), cents))
+        .groupBy("l").count().collect()
+    )
+    assert len(sizes) >= 6  # lists populated, not collapsed
+    assert max(r["count"] for r in sizes) < emb.count()
+
+
 def test_embedding_near_dup_pairs_self(spark, emb):
     # duplicate the table with shifted ids -> every vector has an exact twin
     from pyspark.sql import functions as F
