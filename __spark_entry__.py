@@ -541,6 +541,21 @@ def _q_events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregate (the batch twin of the
+    Structured-Streaming windowed agg; watermarked streaming form in
+    streaming/windows.py)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "value_cents")
+    )
+
+
 def _q_top1_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: top-1 candidate per group, deterministic tie-break
     (reference apple_vision top-candidate selection)."""
@@ -596,6 +611,7 @@ QUERIES = {
     "tesseract_lang_map": _q_tesseract_lang_map,
     "json_props": _q_json_props,
     "events_by_hour": _q_events_by_hour,
+    "events_tumbling_5min": _q_events_tumbling_5min,
     "top1_per_user": _q_top1_per_user,
 }
 
@@ -894,6 +910,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_by_hour": """
             SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "events_tumbling_5min": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
             FROM events GROUP BY 1
         """,
         "top1_per_user": """

@@ -233,14 +233,28 @@ def simhash64(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
     import numpy as np
 
+    # token -> +-1 bit vector, cached: web corpora repeat tokens heavily
+    # (Zipf), so the md5 per *distinct* token amortizes across the batch.
+    cache: dict = {}
+
+    def tok_bits(tok: str):
+        v = cache.get(tok)
+        if v is None:
+            raw = hashlib.md5(tok.encode()).digest()[:8]
+            v = (
+                2 * np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).astype(np.int64)
+                - 1
+            )
+            if len(cache) < 2_000_000:  # bound executor memory
+                cache[tok] = v
+        return v
+
     def one(text: str) -> int:
         if not text:
             return 0
         acc = np.zeros(64, dtype=np.int64)
         for tok in text.split():
-            raw = hashlib.md5(tok.encode()).digest()[:8]
-            bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).astype(np.int64)
-            acc += 2 * bits - 1
+            acc += tok_bits(tok)
         sig = 0
         for i in range(64):
             if acc[i] > 0:

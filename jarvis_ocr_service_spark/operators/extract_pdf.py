@@ -118,6 +118,43 @@ def extract_pdf_text(payload: bytes) -> Tuple[str, List[Tuple[int, int, str]]]:
     return "\n".join(out), spans
 
 
+def extract_pdf_layout(payload: bytes) -> List[Tuple[str, float, float]]:
+    """Layout parse: text lines with their (x, y) positions from the
+    Td/TD/Tm operators preceding each show — PDF's bottom-left-origin
+    coordinate convention, the same convention the reference normalizes
+    in its vision tier (apple_vision_provider.py:86-91, T11). ``T*``
+    (next-line) advances y by the ``TL`` leading when set (our builder
+    emits ``14 TL``)."""
+    out: List[Tuple[str, float, float]] = []
+    _num = rb"(-?\d+(?:\.\d+)?)"
+    tok_re = re.compile(
+        rb"%s\s+%s\s+(Td|TD)|(?:%s\s+){4}%s\s+%s\s+Tm|%s\s+TL|(T\*)|%s\s*Tj"
+        % (_num, _num, _num, _num, _num, _num, _PDF_STRING),
+        re.DOTALL,
+    )
+    for chunk in _content_chunks(payload):
+        for bt in _BT_ET_RE.finditer(chunk):
+            x = y = 0.0
+            leading = 0.0
+            for m in tok_re.finditer(bt.group(1)):
+                if m.group(3):  # Td/TD
+                    x += float(m.group(1))
+                    y += float(m.group(2))
+                    if m.group(3) == b"TD":
+                        leading = -float(m.group(2))
+                elif m.group(5) is not None:  # Tm
+                    x, y = float(m.group(5)), float(m.group(6))
+                elif m.group(7) is not None:  # TL
+                    leading = float(m.group(7))
+                elif m.group(8):  # T*
+                    y -= leading
+                elif m.group(9) is not None:  # (...) Tj
+                    text = _unescape(m.group(9)).strip()
+                    if text:
+                        out.append((text, x, y))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Deterministic PDF *builder* — used by the synthetic pages source and the
 # tests (mirrors how the reference builds its PNG fixture chunk-by-chunk,
