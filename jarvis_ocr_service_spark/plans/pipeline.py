@@ -142,6 +142,33 @@ def _run_staged(
 # Aggregates over results
 # ---------------------------------------------------------------------------
 
+def refresh_pages_text(pages: DataFrame, results: DataFrame) -> DataFrame:
+    """Write-back contract (north star: 'writes extracted text plus
+    character-span offsets back'): a new pages-shaped table whose ``text``
+    column is the extracted text (empty where extraction failed), plus the
+    spans. One url-keyed join; when both sides are written url-bucketed
+    (sources/io.write_results_bucketed) this is shuffle-free."""
+    extracted = results.select(
+        "url",
+        F.col("text").alias("_new_text"),
+        F.col("spans").alias("spans"),
+        F.col("is_valid").alias("_ok"),
+    )
+    return (
+        pages.join(extracted, "url", "left")
+        .select(
+            "url",
+            "warc_ts",
+            "html",
+            F.when(F.coalesce(F.col("_ok"), F.lit(False)), F.col("_new_text"))
+            .otherwise(F.lit(""))
+            .alias("text"),
+            "lang",
+            "spans",
+        )
+    )
+
+
 def status_by_host(results: DataFrame) -> DataFrame:
     """Per-host completion status: 'success' iff >=1 valid row (A1 bool_or
     rule) + extraction counters (A2/A6)."""

@@ -85,6 +85,31 @@ def test_simhash_near_pairs(docs):
     assert not any((a in (3, 4)) ^ (b in (3, 4)) for (a, b) in pairs)
 
 
+def test_minhash_recall_on_perturbed_corpus(spark):
+    """Realistic near-dup recall: every base doc gets a perturbed twin
+    (one word replaced ~ jaccard >= 0.9 for 100+ word docs); LSH must
+    recover >=90% of the planted pairs and report high jaccard."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        "doc_id < 150 and n_chars > 300"
+    )
+    base = [(r.doc_id, r.text) for r in docs.collect()]
+    rows = []
+    for doc_id, text in base:
+        words = text.split()
+        words[len(words) // 2] = "PERTURBED"
+        rows.append((doc_id, text))
+        rows.append((doc_id + 10000, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    pairs = {
+        (r.key_a, r.key_b): r.jaccard
+        for r in minhash_lsh_pairs(df, verify_threshold=0.6).collect()
+    }
+    planted = {(d, d + 10000) for d, _ in base}
+    found = planted & set(pairs)
+    assert len(found) >= 0.9 * len(planted), (len(found), len(planted))
+    assert all(pairs[p] >= 0.6 for p in found)
+
+
 def test_minhash_on_real_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
     # word-soup corpus: verify it runs at scale shape and emits sane pairs
