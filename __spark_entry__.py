@@ -111,6 +111,18 @@ def _q_confidence_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_confidence_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: tesseract-style confidence normalization — conf/100 with the
+    -1 no-confidence sentinel mapped to 0.0 (tesseract_provider.py:59).
+    Sentinel rows synthesized deterministically (every 7th event)."""
+    ev = _tbl(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 7 == 0, F.lit(-1.0)).otherwise(F.col("value"))
+    return ev.select(
+        "event_id",
+        F.when(raw == -1.0, F.lit(0.0)).otherwise(raw / 100.0).alias("norm_conf"),
+    )
+
+
 def _q_status_any_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     return (
@@ -578,6 +590,7 @@ QUERIES = {
     "min_valid_chars_gate": _q_min_valid_chars,
     "reason_truncate": _q_reason_truncate,
     "confidence_clamp": _q_confidence_clamp,
+    "confidence_normalize": _q_confidence_normalize,
     "status_any_valid": _q_status_any_valid,
     "valid_count_by_lang": _q_valid_count_by_lang,
     "batch_totals": _q_batch_totals,
@@ -656,6 +669,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, least(1.0::DOUBLE, greatest(0.0::DOUBLE, value / 100.0)) AS confidence"
             " FROM events"
         ),
+        "confidence_normalize": """
+            WITH r AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 7 = 0 THEN -1.0e0 ELSE value END AS raw
+              FROM events)
+            SELECT event_id,
+                   CASE WHEN raw = -1.0e0 THEN 0.0e0 ELSE raw / 100.0e0 END
+                     AS norm_conf
+            FROM r
+        """,
         "status_any_valid": """
             SELECT doc_id // 8 AS job_id,
                    bool_or(n_chars >= 100) AS any_valid,
