@@ -257,3 +257,86 @@ def batch_escalation_gate(results: DataFrame, batch_col: str = "lang") -> DataFr
         F.min(F.col("is_valid")).alias("all_valid"),
         F.count(F.lit(1)).alias("batch_size"),
     )
+
+
+def run_batch_escalation(
+    pages: DataFrame,
+    batch_col,
+    enabled_tiers: Optional[List[str]] = None,
+    pdf_mode: str = PDF_MODE_PARSE,
+    max_text_bytes: int = MAX_TEXT_BYTES,
+) -> DataFrame:
+    """The reference's HTTP-batch semantic as a pipeline *mode*
+    (provider_manager.py:437-464): a batch accepts tier k only if EVERY
+    row in the batch validates at tier k; any invalid row escalates the
+    WHOLE batch to tier k+1 (rows already valid are re-extracted at the
+    higher tier too — that is the reference behavior). Batches that no
+    tier fully satisfies keep their per-row results from the LAST tier.
+
+    ``batch_col`` is a Column keying the batches (e.g. host, lang).
+    Physical shape per tier: single-tier fused pass -> bool_and gate
+    (map-side partial agg) -> broadcast the (small) still-escalating key
+    set into the next pass's semi-join.
+    """
+    from jarvis_ocr_service_spark.config import AVAILABLE_TIERS, get_tier_order
+
+    tiers = get_tier_order(enabled_tiers if enabled_tiers is not None
+                           else AVAILABLE_TIERS)
+    src = pages.select(batch_col.alias("_batch"), "url", "warc_ts", "html", "lang")
+    remaining = src.persist()
+    out: List[DataFrame] = []
+    history: List[DataFrame] = []  # failing-batch passes, for the fallback
+    bad_keys = None
+
+    for i, tier in enumerate(tiers):
+        pass_res = run_extract(
+            remaining,
+            enabled_tiers=[tier],
+            pdf_mode=pdf_mode,
+            max_text_bytes=max_text_bytes,
+        ).join(remaining.select("_batch", "url"), "url").persist()
+        # terminal errors (pdf-reject / empty) never block the batch:
+        # the gate counts only rows a tier could conceivably improve.
+        gate = pass_res.groupBy("_batch").agg(
+            F.min(
+                F.col("is_valid")
+                | F.col("error_code").isin("unsupported_media", "image_not_found")
+            ).alias("all_ok")
+        )
+        ok_keys = gate.filter("all_ok").select("_batch")
+        out.append(pass_res.join(F.broadcast(ok_keys), "_batch"))
+        bad_keys = gate.filter(~F.col("all_ok")).select("_batch")
+        history.append(
+            pass_res.join(F.broadcast(bad_keys), "_batch").withColumn(
+                "_pass", F.lit(i)
+            )
+        )
+        if i < len(tiers) - 1:
+            remaining = src.join(F.broadcast(bad_keys), "_batch").persist()
+
+    # Batches no tier fully satisfied: each row keeps its result from the
+    # last pass that actually *attempted* it (a pass whose single tier is
+    # inapplicable to the row's content kind marks tier='unknown' — e.g.
+    # the PDF tier over an HTML row — and must not erase an earlier real
+    # attempt).
+    hist = history[0]
+    for df in history[1:]:
+        hist = hist.unionByName(df)
+    final_bad = hist.join(F.broadcast(bad_keys), "_batch")
+    attempted_pass = F.when(
+        (F.col("tier") != "unknown") | F.col("is_valid"), F.col("_pass")
+    )
+    sel = final_bad.groupBy("url").agg(
+        F.coalesce(F.max(attempted_pass), F.lit(0)).alias("_sel")
+    )
+    fallback = (
+        final_bad.join(sel, "url")
+        .filter(F.col("_pass") == F.col("_sel"))
+        .drop("_pass", "_sel")
+    )
+    out.append(fallback)
+
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df.select(*out[0].columns))
+    return result.withColumnRenamed("_batch", "batch_key")
