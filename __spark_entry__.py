@@ -17,8 +17,39 @@ from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
 
+_REPO_ROOT = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+if _REPO_ROOT not in __import__("sys").path:
+    __import__("sys").path.insert(0, _REPO_ROOT)
+
+
+def _ensure_dist(spark: SparkSession) -> None:
+    """Ship the engine package to executors regardless of the driver's
+    cwd/PYTHONPATH: build a zip once and addPyFile it (idempotent)."""
+    import os
+    import zipfile
+
+    if getattr(_ensure_dist, "_done", None) is spark:
+        return
+    pkg_dir = os.path.join(_REPO_ROOT, "jarvis_ocr_service_spark")
+    zpath = "/tmp/jarvis_ocr_service_spark_dist.zip"
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO_ROOT))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+    _ensure_dist._done = spark
+
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_dist(spark)
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
@@ -60,6 +91,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_dist(spark)
     from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
     from jarvis_ocr_service_spark.sources.pages import pages_from_documents
 
@@ -389,6 +421,7 @@ def _q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_dist(spark)
     from jarvis_ocr_service_spark.functions.multimodal import with_image_meta
     from jarvis_ocr_service_spark.sources.pages import synthesize_pages
 
