@@ -61,9 +61,16 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Shingling (shared by MinHash / Jaccard)
 # ---------------------------------------------------------------------------
 
-def word_shingles(col, k: int = 3):
-    """Distinct k-word shingles as an array column (JVM-side)."""
+def word_shingles(col, k: int = 3, max_tokens: int = 0):
+    """Distinct k-word shingles as an array column (JVM-side).
+
+    ``max_tokens`` > 0 bounds the tokens shingled (standard near-dup
+    practice: the first few thousand tokens identify a near-duplicate;
+    unbounded shingling of 50KB docs costs quadratic-ish string churn).
+    """
     toks = F.split(F.trim(col), r"\s+")
+    if max_tokens:
+        toks = F.slice(toks, 1, max_tokens)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
@@ -120,6 +127,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 3,
     verify_threshold: float = 0.7,
+    max_tokens: int = 2000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified with
     exact shingle-set Jaccard. Returns (key_a, key_b, jaccard), key_a<key_b.
@@ -137,11 +145,34 @@ def minhash_lsh_pairs(
     j=0.9 dup collides >=1 band with p~0.94; j=0.3 noise p~0.03.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(
-        F.col(key_col).alias("k"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-        minhash_signature_fast(F.col(text_col), num_hashes, k).alias("sig"),
-    ).persist()  # referenced on both sides of the self-join + verify
+    # Stage the shingles and their hashes as REAL columns across separate
+    # projections: interpreted higher-order expressions get no common-
+    # subexpression elimination, so inlining word_shingles into each of
+    # the 16 signature expressions recomputes the (potentially huge)
+    # shingle array 16x — measured minutes-vs-seconds on 50KB documents.
+    shingled = (
+        df.select(
+            F.col(key_col).alias("k"),
+            word_shingles(F.col(text_col), k, max_tokens=max_tokens).alias("sh"),
+        )
+        .withColumn("h", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+        .withColumn(
+            "sig",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            F.col("h"),
+                            (lambda i: (lambda x: F.xxhash64(x, F.lit(i))))(i),
+                        )
+                    )
+                    for i in range(num_hashes)
+                ]
+            ),
+        )
+        .drop("h")
+        .persist()  # referenced on both sides of the self-join + verify
+    )
     banded = shingled.select(
         "k",
         F.posexplode(

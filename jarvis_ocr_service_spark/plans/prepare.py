@@ -1,0 +1,78 @@
+"""End-to-end training-data preparation: the composed pipeline a 100-TB
+corpus actually runs.
+
+    pages -> extraction cascade -> keep valid text
+          -> quality gate (lang-id + quality score + token bounds)
+          -> exact dedup (content digest)
+          -> near-dup collapse (MinHash-LSH, keep min url per cluster)
+          -> clean corpus (url, text, lang_guess, quality, n_tokens)
+
+Shuffle budget: extraction is a pure map; the quality gate is map-side;
+exact dedup is one shuffle on a 16-byte digest; near-dup adds the banded
+self-join on already-deduped survivors (a small fraction of input).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prepare_training_data(
+    pages: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.5,
+    near_dup_threshold: Optional[float] = 0.85,
+    pdf_mode: str = "parse",
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> deduplicated clean corpus."""
+    from jarvis_ocr_service_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        text_digest,
+    )
+    from jarvis_ocr_service_spark.functions.textstats import (
+        lang_id_col,
+        quality_score_col,
+        token_count_col,
+    )
+    from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
+
+    extracted = run_pipeline(pages, pdf_mode=pdf_mode).filter(F.col("is_valid"))
+
+    scored = extracted.select(
+        "url",
+        "text",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        lang_id_col(F.col("text")).alias("lang_guess"),
+        quality_score_col(F.col("text")).alias("quality"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+
+    # exact dedup: keep the lexicographically-first url per digest
+    exact = (
+        scored.withColumn("_digest", text_digest(F.col("text")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("_digest").orderBy("url")),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_digest", "_rk")
+    )
+
+    if not near_dup_threshold:
+        return exact
+
+    # near-dup collapse: drop the larger key of each verified pair
+    # (transitive chains collapse toward the smallest member; exact for
+    # pair-shaped clusters, greedy for larger ones — standard practice)
+    pairs = minhash_lsh_pairs(
+        exact, text_col="text", key_col="url", verify_threshold=near_dup_threshold
+    )
+    losers = pairs.select(F.col("key_b").alias("url")).distinct()
+    return exact.join(losers, "url", "left_anti")

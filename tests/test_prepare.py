@@ -1,0 +1,34 @@
+"""Composed training-data preparation pipeline."""
+
+from pyspark.sql import functions as F
+
+from jarvis_ocr_service_spark.plans.prepare import prepare_training_data
+from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+
+
+def test_prepare_filters_and_dedups(spark):
+    pages = synthesize_pages(spark, 100, num_partitions=4)
+    # duplicate the whole corpus under new urls -> near/exact dups abound
+    dup = pages.withColumn("url", F.concat(F.col("url"), F.lit("-copy")))
+    both = pages.unionByName(dup)
+
+    corpus = prepare_training_data(both, min_quality=0.4, near_dup_threshold=0.85)
+    rows = corpus.collect()
+    urls = [r.url for r in rows]
+    texts = [r.text for r in rows]
+
+    # invalid classes (empty/pdf-less/garbled/short/png) never survive
+    assert all(r.n_tokens >= 10 and r.quality >= 0.4 for r in rows)
+    # exact dup collapse: no duplicated text bodies remain
+    assert len(texts) == len(set(texts))
+    # the -copy twins were dropped (original url sorts first)
+    assert not any(u.endswith("-copy") for u in urls)
+    # valid originals survived
+    assert len(rows) > 0
+
+
+def test_prepare_without_near_dup_stage(spark):
+    pages = synthesize_pages(spark, 60, num_partitions=2)
+    corpus = prepare_training_data(pages, near_dup_threshold=None)
+    assert corpus.count() > 0
+    assert set(corpus.columns) == {"url", "text", "n_tokens", "lang_guess", "quality"}
