@@ -24,23 +24,39 @@ if _REPO_ROOT not in __import__("sys").path:
 
 def _ensure_dist(spark: SparkSession) -> None:
     """Ship the engine package to executors regardless of the driver's
-    cwd/PYTHONPATH: build a zip once and addPyFile it (idempotent)."""
+    cwd/PYTHONPATH: build a zip once and addPyFile it (idempotent).
+
+    The zip filename is keyed on a content hash of the package sources so
+    an edited engine never runs stale on executors (a fixed /tmp path would
+    keep serving the first build of the session's lifetime)."""
+    import hashlib
     import os
     import zipfile
 
     if getattr(_ensure_dist, "_done", None) is spark:
         return
     pkg_dir = os.path.join(_REPO_ROOT, "jarvis_ocr_service_spark")
-    zpath = "/tmp/jarvis_ocr_service_spark_dist.zip"
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                sources.append((os.path.relpath(full, _REPO_ROOT), full))
+    sources.sort()
+    h = hashlib.sha256()
+    for rel, full in sources:
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    zpath = f"/tmp/jarvis_ocr_service_spark_dist_{h.hexdigest()[:12]}.zip"
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO_ROOT))
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for rel, full in sources:
+                z.write(full, rel)
+        os.replace(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

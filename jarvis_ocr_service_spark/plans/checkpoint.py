@@ -58,6 +58,15 @@ def committed_batches(spark: SparkSession, manifest_path: str) -> set:
         return set()  # no manifest yet
 
 
+def committed_batch_files(spark: SparkSession, manifest_path: str) -> dict:
+    """batch_id -> exact input-file list the committed batch processed."""
+    try:
+        rows = spark.read.parquet(manifest_path).select("batch_id", "files").collect()
+        return {r.batch_id: list(r.files) for r in rows}
+    except Exception:
+        return {}  # no manifest yet
+
+
 def run_checkpointed(
     spark: SparkSession,
     input_path: str,
@@ -71,6 +80,13 @@ def run_checkpointed(
 
     ``max_batches`` limits how many *uncommitted* batches run (used by the
     kill-and-resume test; None = all). Returns run stats.
+
+    Resume safety: a committed batch_id is only skipped when the *planned*
+    file list for that batch_id equals the manifest's recorded ``files``.
+    Batch ids are positional — adding/removing input files or resuming with
+    a different ``files_per_batch`` would silently re-map ids onto different
+    file sets (gaps + duplicates), so any mismatch is a hard error rather
+    than a guess.
     """
     if pipeline_fn is None:
         from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
@@ -80,12 +96,22 @@ def run_checkpointed(
     run_id = str(uuid.uuid4())
     files = list_input_files(spark, input_path)
     batches = plan_batches(files, files_per_batch)
-    done = committed_batches(spark, manifest_path)
+    done = committed_batch_files(spark, manifest_path)
 
     ran = 0
     skipped = 0
     for batch_id, batch_files in enumerate(batches):
         if batch_id in done:
+            if done[batch_id] != list(batch_files):
+                raise ValueError(
+                    f"checkpoint resume mismatch for batch_id={batch_id}: "
+                    f"manifest committed files {done[batch_id]} but the "
+                    f"current plan maps this id to {list(batch_files)} — "
+                    "the input listing or files_per_batch changed since the "
+                    "manifest was written; refusing to resume (delete the "
+                    "manifest + output to reprocess, or restore the "
+                    "original input/batching)"
+                )
             skipped += 1
             continue
         if max_batches is not None and ran >= max_batches:

@@ -30,6 +30,22 @@ from jarvis_ocr_service_spark.operators.udfs import make_extract_map_fn, run_ext
 from jarvis_ocr_service_spark.plans.skew import url_host
 
 
+
+def join_on_row_key(left: DataFrame, right: DataFrame, keys: List[str],
+                    how: str = "inner") -> DataFrame:
+    """USING-style join on row keys with *null-safe* equality (warc_ts may
+    legitimately be null in hand-built tables): emits each key column once,
+    from the left side."""
+    cond = None
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"_rk_{k}")
+    for k in keys:
+        c = left[k].eqNullSafe(r[f"_rk_{k}"])
+        cond = c if cond is None else (cond & c)
+    return left.join(r, cond, how).drop(*[f"_rk_{k}" for k in keys])
+
+
 def run_pipeline(
     pages: DataFrame,
     enabled_tiers: Optional[List[str]] = None,
@@ -92,13 +108,20 @@ def _run_staged(
     attempted = F.col("tier") != F.lit("unknown")
 
     for i, tier in enumerate(tiers):
-        cursor = remaining.select("url", "_prev_tier", "_prev_reason")
-        pass_df = run_extract(
-            remaining,
-            enabled_tiers=[tier],
-            pdf_mode=pdf_mode,
-            max_text_bytes=max_text_bytes,
-        ).join(cursor, "url").persist()
+        # Join on (url, warc_ts): a crawl can hold multiple snapshots of one
+        # url (that is why the schema carries warc_ts), so url alone is not
+        # a row key and would fan the cursor join out.
+        cursor = remaining.select("url", "warc_ts", "_prev_tier", "_prev_reason")
+        pass_df = join_on_row_key(
+            run_extract(
+                remaining,
+                enabled_tiers=[tier],
+                pdf_mode=pdf_mode,
+                max_text_bytes=max_text_bytes,
+            ),
+            cursor,
+            ["url", "warc_ts"],
+        ).persist()
 
         accepted.append(pass_df.filter(terminal).drop("_prev_tier", "_prev_reason"))
         failed = pass_df.filter(~terminal)
@@ -113,8 +136,10 @@ def _run_staged(
             ),
         )
         if i < len(tiers) - 1:
-            remaining = failed.select("url", "_prev_tier", "_prev_reason").join(
-                src, "url"
+            remaining = join_on_row_key(
+                failed.select("url", "warc_ts", "_prev_tier", "_prev_reason"),
+                src,
+                ["url", "warc_ts"],
             )
         else:
             final_failed = failed
@@ -150,12 +175,13 @@ def refresh_pages_text(pages: DataFrame, results: DataFrame) -> DataFrame:
     (sources/io.write_results_bucketed) this is shuffle-free."""
     extracted = results.select(
         "url",
+        "warc_ts",
         F.col("text").alias("_new_text"),
         F.col("spans").alias("spans"),
         F.col("is_valid").alias("_ok"),
     )
     return (
-        pages.join(extracted, "url", "left")
+        join_on_row_key(pages, extracted, ["url", "warc_ts"], how="left")
         .select(
             "url",
             "warc_ts",
@@ -294,7 +320,11 @@ def run_batch_escalation(
             enabled_tiers=[tier],
             pdf_mode=pdf_mode,
             max_text_bytes=max_text_bytes,
-        ).join(remaining.select("_batch", "url"), "url").persist()
+        )
+        pass_res = join_on_row_key(
+            pass_res, remaining.select("_batch", "url", "warc_ts"),
+            ["url", "warc_ts"],
+        ).persist()
         # terminal errors (pdf-reject / empty) never block the batch:
         # the gate counts only rows a tier could conceivably improve.
         gate = pass_res.groupBy("_batch").agg(
@@ -326,11 +356,11 @@ def run_batch_escalation(
     attempted_pass = F.when(
         (F.col("tier") != "unknown") | F.col("is_valid"), F.col("_pass")
     )
-    sel = final_bad.groupBy("url").agg(
+    sel = final_bad.groupBy("url", "warc_ts").agg(
         F.coalesce(F.max(attempted_pass), F.lit(0)).alias("_sel")
     )
     fallback = (
-        final_bad.join(sel, "url")
+        join_on_row_key(final_bad, sel, ["url", "warc_ts"])
         .filter(F.col("_pass") == F.col("_sel"))
         .drop("_pass", "_sel")
     )

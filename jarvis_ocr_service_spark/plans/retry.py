@@ -12,7 +12,7 @@ which is exactly what the requeue achieved.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, List, Optional, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,11 +55,17 @@ def run_with_retries(
     pages: DataFrame,
     pipeline_fn: Callable[[DataFrame], DataFrame],
     max_attempts: int = MAX_ATTEMPTS,
-    join_key: str = "url",
+    join_key: Union[str, List[str], None] = None,
 ) -> DataFrame:
     """Run the pipeline, re-running rows whose error is retryable, up to
     ``max_attempts`` passes. Deterministic pipelines converge on pass 1;
-    the loop exists for tiers with transient external failures."""
+    the loop exists for tiers with transient external failures.
+
+    ``join_key`` defaults to ``(url, warc_ts)`` — url alone is not a row
+    key in a crawl that holds multiple snapshots of one url."""
+    if join_key is None:
+        join_key = ["url", "warc_ts"] if "warc_ts" in pages.columns else ["url"]
+    keys = [join_key] if isinstance(join_key, str) else list(join_key)
     results = pipeline_fn(pages).withColumn("attempt", F.lit(1))
     final, retry = split_retryable(results)
     out = [final]
@@ -68,7 +74,9 @@ def run_with_retries(
         if retry.isEmpty():
             break
         attempt += 1
-        again = retry.select(join_key).join(pages, join_key)
+        from jarvis_ocr_service_spark.plans.pipeline import join_on_row_key
+
+        again = join_on_row_key(retry.select(*keys), pages, keys)
         results = pipeline_fn(again).withColumn("attempt", F.lit(attempt))
         final, retry = split_retryable(results)
         out.append(final)

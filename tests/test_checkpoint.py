@@ -93,6 +93,21 @@ def test_orphan_batch_overwritten_not_duplicated(spark, pages_dir, tmp_path):
     assert final.select("url").distinct().count() == N
 
 
+def test_resume_with_changed_batching_hard_errors(spark, pages_dir, tmp_path):
+    """batch_id is positional: resuming with a different files_per_batch (or
+    a changed input listing) re-maps ids onto different file sets. The
+    manifest records the exact files per batch — resume must verify them
+    and refuse on mismatch instead of silently skipping the wrong files."""
+    out, man = str(tmp_path / "o5"), str(tmp_path / "m5")
+    run_checkpointed(spark, pages_dir, out, man, files_per_batch=2, max_batches=1)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_checkpointed(spark, pages_dir, out, man, files_per_batch=3)
+    # unchanged batching still resumes cleanly
+    stats = run_checkpointed(spark, pages_dir, out, man, files_per_batch=2)
+    assert stats["complete"] and stats["skipped_committed"] == 1
+    assert read_committed(spark, out, man).count() == N
+
+
 def test_rerun_after_complete_is_noop(spark, pages_dir, tmp_path):
     out, man = str(tmp_path / "o4"), str(tmp_path / "m4")
     run_checkpointed(spark, pages_dir, out, man, files_per_batch=3)

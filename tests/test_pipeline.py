@@ -68,6 +68,31 @@ def test_staged_strategy_equals_fused(spark):
         ), url
 
 
+def test_staged_handles_multiple_snapshots_per_url(spark):
+    """A crawl can hold several snapshots of one url (that's why the schema
+    carries warc_ts). The staged strategy's cursor joins must key on
+    (url, warc_ts) — a url-only join would fan out and diverge from fused."""
+    base = synthesize_pages(spark, 40, seed=42, num_partitions=2)
+    dup = base.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    pages = base.unionByName(dup)  # every url twice, distinct warc_ts
+    fused = {
+        (r["url"], r["warc_ts"]): r
+        for r in run_pipeline(pages, strategy="fused").collect()
+    }
+    staged = {
+        (r["url"], r["warc_ts"]): r
+        for r in run_pipeline(pages, strategy="staged").collect()
+    }
+    assert len(fused) == 80 and set(fused) == set(staged)
+    for key, f in fused.items():
+        s = staged[key]
+        assert (f.text, f.tier, f.is_valid, f.error_code) == (
+            s.text, s.tier, s.is_valid, s.error_code
+        ), key
+
+
 def test_status_by_host_bool_or_rule(spark):
     pages = synthesize_pages(spark, N, seed=42, num_partitions=4)
     res = run_pipeline(pages)
