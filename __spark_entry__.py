@@ -346,32 +346,28 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jarvis_ocr_service_spark.functions.textstats import (
-        bpe_ish_token_count_col,
-        token_count_col,
-    )
+    from jarvis_ocr_service_spark.functions.textstats import with_text_stats
 
-    return _tbl(spark, sf_dir, "documents").select(
-        "doc_id",
-        token_count_col(F.col("text")).alias("n_tokens"),
-        bpe_ish_token_count_col(F.col("text")).alias("n_subtokens"),
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_text_stats(docs, stats=("n_tokens", "n_subtokens")).select(
+        "doc_id", "n_tokens", "n_subtokens"
     )
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jarvis_ocr_service_spark.functions.textstats import lang_id_col
+    from jarvis_ocr_service_spark.functions.textstats import with_text_stats
 
-    return _tbl(spark, sf_dir, "documents").select(
-        "doc_id", lang_id_col(F.col("text")).alias("lang_guess")
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_text_stats(docs, stats=("lang_guess",)).select(
+        "doc_id", "lang_guess"
     )
 
 
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jarvis_ocr_service_spark.functions.textstats import quality_score_col
+    from jarvis_ocr_service_spark.functions.textstats import with_text_stats
 
-    return _tbl(spark, sf_dir, "documents").select(
-        "doc_id", quality_score_col(F.col("text")).alias("quality")
-    )
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_text_stats(docs, stats=("quality",)).select("doc_id", "quality")
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

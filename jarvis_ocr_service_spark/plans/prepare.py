@@ -33,36 +33,29 @@ def prepare_training_data(
         minhash_lsh_pairs,
         text_digest,
     )
-    from jarvis_ocr_service_spark.functions.textstats import (
-        lang_id_col,
-        quality_score_col,
-        token_count_col,
-    )
+    from jarvis_ocr_service_spark.functions.textstats import with_text_stats
     from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
 
     extracted = run_pipeline(pages, pdf_mode=pdf_mode).filter(F.col("is_valid"))
 
-    scored = extracted.select(
-        "url",
-        "text",
-        token_count_col(F.col("text")).alias("n_tokens"),
-        lang_id_col(F.col("text")).alias("lang_guess"),
-        quality_score_col(F.col("text")).alias("quality"),
+    # token split staged once (with_text_stats), not re-split per stat
+    scored = with_text_stats(
+        extracted.select("url", "text"),
+        stats=("n_tokens", "lang_guess", "quality"),
     ).filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("quality") >= min_quality)
     )
 
-    # exact dedup: keep the lexicographically-first url per digest
+    # exact dedup: keep the lexicographically-first url per digest — a
+    # min_by aggregate (one shuffle, partial agg map-side, no per-group
+    # sort of full-text rows like a Window would need)
+    cols = scored.columns
     exact = (
-        scored.withColumn("_digest", text_digest(F.col("text")))
-        .withColumn(
-            "_rk",
-            F.row_number().over(Window.partitionBy("_digest").orderBy("url")),
-        )
-        .filter(F.col("_rk") == 1)
-        .drop("_digest", "_rk")
+        scored.groupBy(text_digest(F.col("text")).alias("_digest"))
+        .agg(F.min_by(F.struct(*cols), F.col("url")).alias("_row"))
+        .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
     )
 
     if not near_dup_threshold:

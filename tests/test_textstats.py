@@ -82,6 +82,47 @@ def test_rolling_hash_deterministic_and_order_sensitive(spark):
     assert got[0] == (ord("a") * 257 + ord("b")) % ((1 << 61) - 1)
 
 
+def test_with_text_stats_equals_standalone_forms(spark):
+    """The staged frame (split computed once) must be value-identical to
+    the standalone column forms — including null text."""
+    from jarvis_ocr_service_spark.functions.textstats import with_text_stats
+
+    rows = ROWS + [(8, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = {r.doc_id: r for r in with_text_stats(df).collect()}
+    inline = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            token_count_col(F.col("text")).alias("n_tokens"),
+            bpe_ish_token_count_col(F.col("text")).alias("n_subtokens"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            lang_id_col(F.col("text")).alias("lang_guess"),
+            quality_score_col(F.col("text")).alias("quality"),
+            fingerprint_md5_col(F.col("text")).alias("fingerprint"),
+        ).collect()
+    }
+    for k, a in inline.items():
+        b = staged[k]
+        for f in ("n_tokens", "n_subtokens", "n_bytes", "lang_guess",
+                  "quality", "fingerprint"):
+            assert a[f] == b[f], (k, f, a[f], b[f])
+
+
+def test_text_stats_plan_splits_text_exactly_twice(spark):
+    """Plan gate: the stats frame must stage the token splits (raw +
+    lowered) as real columns — NOT re-inline split() into every stopword
+    counter (~12 splits/row, the no-CSE trap for interpreted higher-order
+    exprs)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = text_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    # tokenizer splits look like split(trim(...), \s+, -1); the fingerprint
+    # path legitimately splits on newline inside normalize — count only the
+    # whitespace-tokenizer form
+    n_splits = plan.count(r"\s+")
+    assert n_splits == 2, f"expected 2 staged tokenizer splits, plan has {n_splits}"
+
+
 def test_text_stats_on_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     stats = text_stats(docs).collect()
