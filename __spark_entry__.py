@@ -815,7 +815,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "minhash_signature": f"""
-            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+            WITH t AS (SELECT doc_id, {_duck_spark_tokens('text')} AS toks
                        FROM documents),
             s AS (SELECT doc_id,
                     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -855,10 +855,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = key_b
             WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.05e0
         """,
-        "token_count": r"""
+        "token_count": rf"""
             SELECT doc_id,
                    CAST(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        ELSE len({_duck_spark_tokens('text')})
                         END AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(coalesce(text,''),
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9_ \t\n\r\x0B\f]'))
@@ -1006,7 +1006,115 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, q)
             SELECT vec_id, dot_q FROM scored ORDER BY dot_q DESC, vec_id LIMIT 10
         """,
+        "simhash_near_pairs": _duck_simhash_pairs(10, "doc_id < 200"),
+        "rolling_hash": _duck_rolling_hash(),
+        "image_meta": _duck_image_meta(),
     }
+
+
+# Tokenizer pins (ADVICE: never rely on the fixture being single-spaced):
+#  * Spark `split(trim(text), '\s+')` — Java \s is exactly [ \t\n\x0B\f\r]
+#    and Spark's split KEEPS empty trailing/leading fields — mirrored with
+#    regexp_split_to_array on the explicit class, no empty-filter.
+#  * Python `str.split()` (simhash UDF) DROPS empty fields — mirrored with
+#    the same class plus list_filter(t != '').
+_DUCK_WS = "[ \t\n\x0b\f\r]+"
+
+
+def _duck_spark_tokens(expr: str) -> str:
+    """DuckDB mirror of Spark split(trim(expr), '\\s+') (keeps empties)."""
+    return f"regexp_split_to_array(trim({expr}), '{_DUCK_WS}')"
+
+
+def _duck_py_tokens(expr: str) -> str:
+    """DuckDB mirror of Python str.split() (drops empties)."""
+    return (
+        f"list_filter(regexp_split_to_array(trim(coalesce({expr}, '')), "
+        f"'{_DUCK_WS}'), t -> t != '')"
+    )
+
+
+def _duck_simhash_pairs(max_hamming: int, key_filter: str) -> str:
+    """DuckDB mirror of functions/dedup.simhash64_one + all-pairs Hamming:
+    per token, bit i of the signature comes from hex digit i//4 of md5(tok)
+    (nibble bit 3-i%4 — i.e. bytes unpacked MSB-first, matching
+    np.unpackbits); signature bit i is set iff the majority of tokens set
+    it. Bit 63 is the sign bit of the int64 mapping."""
+    hexd = "0123456789abcdef"
+    terms = []
+    for i in range(64):
+        p = i // 4 + 1
+        shift = 3 - (i % 4)
+        ones = (
+            f"len(list_filter(hx, x -> ((strpos('{hexd}', substr(x, {p}, 1))"
+            f" - 1) >> {shift}) & 1 = 1))"
+        )
+        if i < 63:
+            terms.append(
+                f"(CASE WHEN 2*{ones} > n THEN CAST({1 << i} AS BIGINT)"
+                " ELSE 0 END)"
+            )
+        else:
+            terms.append(
+                f"(CASE WHEN 2*{ones} > n THEN CAST(-9223372036854775807"
+                " AS BIGINT) - 1 ELSE 0 END)"
+            )
+    sig_expr = " + ".join(terms)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_duck_py_tokens('text')} AS toks
+          FROM documents WHERE {key_filter}),
+        h AS (SELECT doc_id, len(toks) AS n,
+                     list_transform(toks, t -> md5(t)) AS hx
+              FROM d),
+        s AS (SELECT doc_id, CASE WHEN n = 0 THEN 0 ELSE {sig_expr} END AS sig
+              FROM h)
+        SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _duck_rolling_hash() -> str:
+    """DuckDB mirror of functions/textstats.rolling_hash64: fold
+    h = (h*257 + codepoint) mod 2^61-1 over the text's codepoints
+    (HUGEINT accumulator — h*257 overflows BIGINT)."""
+    return """
+        SELECT doc_id, CASE WHEN coalesce(text, '') = '' THEN 0 ELSE
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+              list_transform(regexp_split_to_array(text, ''),
+                             c -> CAST(unicode(c) AS HUGEINT))),
+            (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)
+        END AS rhash
+        FROM documents
+    """
+
+
+def _duck_image_meta() -> str:
+    """VALUES oracle: expected header-decode rows precomputed in pure
+    Python from the deterministic page fixture (sources/pages.make_page is
+    a pure function of (i, seed) — same rows on any machine)."""
+    from jarvis_ocr_service_spark.functions.multimodal import _meta_of
+    from jarvis_ocr_service_spark.sources.pages import make_page
+
+    rows = []
+    for i in range(200):
+        p = make_page(i)
+        m = _meta_of(p["html"])
+        if m["format"] is not None:
+            rows.append(
+                f"('{p['url']}', '{m['format']}', {m['width']}, "
+                f"{m['height']}, {m['n_bytes']})"
+            )
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT url, fmt, CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES {values}) v(url, fmt, width, height, n_bytes)
+    """
 
 
 def _duck_lang_id() -> str:
@@ -1023,7 +1131,8 @@ def _duck_lang_id() -> str:
     gmax = "greatest(" + ", ".join(f"h_{l}" for l in LANGS) + ")"
     case = " ".join(f"WHEN h_{l} = gm THEN '{l}'" for l in LANGS)
     return f"""
-        WITH tk AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+        WITH tk AS (SELECT doc_id,
+                           {_duck_spark_tokens('lower(text)')} AS toks
                     FROM documents),
         h AS (SELECT doc_id, {hit_cols} FROM tk),
         g AS (SELECT *, {gmax} AS gm FROM h)
@@ -1038,7 +1147,7 @@ def _duck_quality_score() -> str:
     from jarvis_ocr_service_spark.functions.textstats import LANGS, STOPWORDS
 
     stop_sum = " + ".join(
-        "len(list_filter(string_split(trim(lower(text)), ' '), "
+        f"len(list_filter({_duck_spark_tokens('lower(text)')}, "
         "t -> list_contains(["
         + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
         + "], t)))"
@@ -1057,7 +1166,7 @@ def _duck_quality_score() -> str:
             CAST(length(regexp_replace(t, '[A-Za-z0-9_ \t\n\r\x0B\f]+', '', 'g'))
               AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) AS punct,
             CAST(CASE WHEN trim(t) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS DOUBLE)
+                 ELSE len({_duck_spark_tokens('t')}) END AS DOUBLE)
               AS toks,
             CAST({stop_sum} AS DOUBLE) AS stop_hits
           FROM (SELECT doc_id, t, n, t AS text FROM b))

@@ -253,48 +253,95 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def simhash64_one(text: str) -> int:
+    """Scalar reference SimHash (the definition the vectorized UDF and the
+    DuckDB oracle must match byte-for-byte). Token hash: first 8 bytes of
+    md5, bits unpacked MSB-first per byte; signature bit i is the sign of
+    the bit-majority over all tokens (with multiplicity)."""
+    import hashlib
+
+    import numpy as np
+
+    if not text:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        raw = hashlib.md5(tok.encode()).digest()[:8]
+        acc += (
+            2 * np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).astype(np.int64)
+            - 1
+        )
+    sig = 0
+    for i in range(64):
+        if acc[i] > 0:
+            sig |= 1 << i
+    # map to signed int64 for Spark LongType
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """64-bit SimHash over whitespace tokens (vectorized, Arrow-batched).
+    """64-bit SimHash over whitespace tokens — vectorized per Arrow batch.
 
-    Token hash: first 8 bytes of md5 (deterministic everywhere); bit i of
-    the signature is the sign of the weighted bit-majority.
+    Identical output to :func:`simhash64_one` (pinned by tests), but the
+    per-token Python loop is replaced with batch numpy: factorize the
+    batch's tokens, md5 each *distinct* token once (Zipf: web corpora
+    repeat tokens heavily; a cross-batch cache amortizes further), then
+    accumulate the ±1 bit matrix with segment-sums (``np.add.reduceat``)
+    in bounded-memory chunks.
     """
     import hashlib
 
     import numpy as np
 
-    # token -> +-1 bit vector, cached: web corpora repeat tokens heavily
-    # (Zipf), so the md5 per *distinct* token amortizes across the batch.
-    cache: dict = {}
+    cache: dict = {}  # token -> ±1 bit row; persists across batches
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
 
-    def tok_bits(tok: str):
-        v = cache.get(tok)
-        if v is None:
-            raw = hashlib.md5(tok.encode()).digest()[:8]
-            v = (
-                2 * np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).astype(np.int64)
-                - 1
-            )
-            if len(cache) < 2_000_000:  # bound executor memory
-                cache[tok] = v
-        return v
-
-    def one(text: str) -> int:
-        if not text:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            acc += tok_bits(tok)
-        sig = 0
-        for i in range(64):
-            if acc[i] > 0:
-                sig |= 1 << i
-        # map to signed int64 for Spark LongType
-        return sig - (1 << 64) if sig >= (1 << 63) else sig
+    def batch(s: pd.Series) -> pd.Series:
+        tok_lists = [t.split() for t in s.fillna("")]
+        n = len(tok_lists)
+        sig = np.zeros(n, dtype=np.int64)
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        ne_idx = np.nonzero(counts)[0]
+        if len(ne_idx) == 0:
+            return pd.Series(sig, index=s.index)
+        flat = [tok for tl in tok_lists for tok in tl]
+        codes, uniques = pd.factorize(pd.Index(flat), sort=False)
+        mat = np.empty((len(uniques), 64), dtype=np.int64)
+        for i, tok in enumerate(uniques):
+            v = cache.get(tok)
+            if v is None:
+                raw = hashlib.md5(tok.encode()).digest()[:8]
+                v = (
+                    2
+                    * np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).astype(
+                        np.int64
+                    )
+                    - 1
+                )
+                if len(cache) < 2_000_000:  # bound executor memory
+                    cache[tok] = v
+            mat[i] = v
+        # segment boundaries of each non-empty doc in the flat token stream
+        ne_counts = counts[ne_idx]
+        ne_cum = np.concatenate(([0], np.cumsum(ne_counts)))
+        m = len(ne_idx)
+        CHUNK_TOKENS = 1 << 20  # bounds the (tokens, 64) expansion to ~512MB
+        s0 = 0
+        while s0 < m:
+            s1 = int(np.searchsorted(ne_cum, ne_cum[s0] + CHUNK_TOKENS, "right")) - 1
+            s1 = min(max(s1, s0 + 1), m)  # always advance; allow 1 huge doc
+            exp = mat[codes[ne_cum[s0] : ne_cum[s1]]]
+            offs = ne_cum[s0:s1] - ne_cum[s0]
+            acc = np.add.reduceat(exp, offs, axis=0)
+            bits = acc > 0
+            sig_u = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+            sig[ne_idx[s0:s1]] = sig_u.view(np.int64)
+            s0 = s1
+        return pd.Series(sig, index=s.index)
 
     for s in texts:
-        yield s.fillna("").map(one)
+        yield batch(s)
 
 
 def simhash_near_pairs(
@@ -302,13 +349,29 @@ def simhash_near_pairs(
     text_col: str = "text",
     key_col: str = "doc_id",
     max_hamming: int = 3,
+    bands: int = 0,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(sig) <= max_hamming.
+    """Near-dup pairs with Hamming(sig) <= max_hamming — complete recall.
 
-    Pigeonhole blocking: split the 64-bit signature into 4 16-bit bands;
-    any pair within Hamming<=3 agrees on >=1 band exactly — join per band,
-    then verify the true Hamming distance with bit_count (JVM-side).
+    Pigeonhole blocking: the 64-bit signature is split into ``bands``
+    contiguous slices; any pair within Hamming <= bands-1 must agree on at
+    least one band exactly, so ``bands`` defaults to ``max_hamming + 1``
+    (the smallest complete layout — 4 bands can only guarantee Hamming<=3).
+    Join per band, then verify the true Hamming distance with bit_count
+    (JVM-side).
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    bands = bands or (max_hamming + 1)
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming}; need bands >= max_hamming + 1"
+        )
+    bands = min(bands, 64)
+    base, rem = divmod(64, bands)
+    widths = [base + 1] * rem + [base] * (bands - rem)
+    starts = [sum(widths[:b]) for b in range(bands)]
     sigs = df.select(
         F.col(key_col).alias("k"), simhash64(F.col(text_col)).alias("sig")
     )
@@ -318,8 +381,10 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sig"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
+                    F.shiftrightunsigned(F.col("sig"), starts[b]).bitwiseAND(
+                        F.lit((1 << widths[b]) - 1)
+                    )
+                    for b in range(bands)
                 ]
             )
         ).alias("band", "band_key"),

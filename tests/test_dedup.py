@@ -85,6 +85,63 @@ def test_simhash_near_pairs(docs):
     assert not any((a in (3, 4)) ^ (b in (3, 4)) for (a, b) in pairs)
 
 
+def test_simhash_vectorized_matches_scalar_reference(spark):
+    """The batch-numpy UDF must be byte-identical to the scalar definition
+    (which the DuckDB oracle also mirrors)."""
+    from jarvis_ocr_service_spark.functions.dedup import simhash64_one
+
+    texts = [
+        "", "   ", "one", "one one one", "the cat sat on the mat",
+        "the cat sat on the mat again and again and again",
+        "unicode tøkens élan 😀 mixed", "a " * 3000 + "tail",
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r.i: r.sig for r in df.select("i", simhash64("text").alias("sig")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == simhash64_one(t or ""), (i, t)
+
+
+def test_simhash_near_pairs_complete_vs_brute_force(spark):
+    """Contract: pairs with Hamming <= max_hamming are ALL found (the old
+    fixed-4-band layout only guaranteed Hamming<=3; bands now default to
+    max_hamming+1). Exhaustive check against scalar brute force on a
+    perturbed corpus, at a max_hamming well beyond 3."""
+    from jarvis_ocr_service_spark.functions.dedup import simhash64_one
+
+    words = "the quick brown fox jumps over a lazy dog near the old river".split()
+    texts = []
+    for i in range(60):
+        t = list(words) * 3
+        t[i % len(t)] = f"mut{i}"
+        if i % 3 == 0:
+            t.append(f"tail{i % 7}")
+        texts.append(" ".join(t))
+    sigs = [simhash64_one(t) for t in texts]
+    mask = (1 << 64) - 1
+    H = 12
+    expected = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & mask).count("1")
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if bin((sigs[a] ^ sigs[b]) & mask).count("1") <= H
+    }
+    assert expected, "fixture produced no close pairs — test is vacuous"
+    assert any(h > 3 for h in expected.values()), "need pairs beyond Hamming 3"
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(4)
+    got = {(r.key_a, r.key_b): r.hamming
+           for r in simhash_near_pairs(df, max_hamming=H).collect()}
+    assert got == expected
+    # and the guard refuses an under-banded layout
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        simhash_near_pairs(df, max_hamming=H, bands=4)
+
+
 def test_minhash_recall_on_perturbed_corpus(spark):
     """Realistic near-dup recall: every base doc gets a perturbed twin
     (one word replaced ~ jaccard >= 0.9 for 100+ word docs); LSH must
