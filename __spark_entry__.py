@@ -339,10 +339,25 @@ def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over a corpus with planted near-dups: every doc
+    gets a twin truncated to its first 3/4 tokens (Jaccard ~0.7), so the
+    oracle-checked pair set is non-empty and stable (a fixture of fully
+    distinct docs would pass vacuously with 0 rows on both sides)."""
     from jarvis_ocr_service_spark.functions.dedup import ngram_jaccard_pairs
 
-    docs = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return ngram_jaccard_pairs(docs, k=5, threshold=0.05)
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.greatest(F.lit(1), F.floor(F.size(toks) * 3 / 4)).cast("int")
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), keep), " ").alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    return ngram_jaccard_pairs(corpus, k=5, threshold=0.4, max_tokens=500)
 
 
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,16 +846,32 @@ def oracle_sql() -> dict[str, str]:
                    list_aggr(list_transform(sh, x -> md5(x || '#3')), 'min') AS mh3
             FROM s
         """,
-        "ngram_jaccard": """
-            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-                       FROM documents WHERE doc_id < 100),
+        # non-vacuous by construction: every doc gets a 3/4-truncated twin
+        # (jaccard ~0.7 >= 0.4), so the pair set is non-empty and stable.
+        # The oracle is plain all-pairs Jaccard — the Spark side's prefix
+        # blocking is exact (a lossless candidate filter), so results match.
+        "ngram_jaccard": f"""
+            WITH base AS (
+              SELECT doc_id, {_duck_spark_tokens('text')} AS toks
+              FROM documents WHERE doc_id < 80),
+            twins AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     array_to_string(
+                       toks[1:greatest(1, CAST(floor(len(toks)*3/4.0) AS INT))],
+                       ' ') AS text
+              FROM base),
+            corpus AS (
+              SELECT doc_id, toks[1:500] AS toks FROM base
+              UNION ALL
+              SELECT doc_id, {_duck_spark_tokens('text')}[1:500] AS toks
+              FROM twins),
             s AS (SELECT doc_id,
                     CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
                          ELSE list_distinct(list_transform(
                                 generate_series(1, len(toks)-4),
                                 i -> array_to_string(toks[i:i+4], ' ')))
                     END AS sh
-                  FROM t),
+                  FROM corpus),
             sizes AS (SELECT doc_id, len(sh) AS n FROM s),
             ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
             common AS (
@@ -853,7 +884,7 @@ def oracle_sql() -> dict[str, str]:
             FROM common
             JOIN sizes na ON na.doc_id = key_a
             JOIN sizes nb ON nb.doc_id = key_b
-            WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.05e0
+            WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.4e0
         """,
         "token_count": rf"""
             SELECT doc_id,

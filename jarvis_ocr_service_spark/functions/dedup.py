@@ -218,20 +218,95 @@ def minhash_lsh_pairs(
 # n-gram Jaccard (exact, blocked by shared shingle)
 # ---------------------------------------------------------------------------
 
+def ngram_prefix_candidates(
+    sh: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact prefix-filtered candidate pairs (AllPairs/PPJoin blocking).
+
+    Under any global total order of shingles, J(A,B) >= t implies
+    |A∩B| >= t*|A|, so A and B must share an element inside each set's
+    *prefix* of length |S| - ceil(t*|S|) + 1 (if all common elements sat in
+    the suffix of length ceil(t*|S|)-1 < t*|S| <= |A∩B|, contradiction).
+    Ordering by ascending global document frequency puts boilerplate
+    shingles (df ~ corpus size) in the suffixes — they never become
+    blocking keys, so the candidate join cannot explode on
+    duplicated-boilerplate corpora while recall stays exact.
+
+    ``sh`` is (k, sh: array<string> of distinct shingles). Returns
+    (key_a, key_b) candidate pairs — a superset of all pairs with
+    Jaccard >= threshold.
+    """
+    ex = sh.select("k", F.explode("sh").alias("g"))
+    gdf = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    pref = (
+        ex.join(gdf, "g")
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("sg"))
+        .withColumn("n", F.size("sg"))
+        .withColumn(
+            "L",
+            (F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast(
+                "int"
+            ),
+        )
+        .select("k", F.explode(F.slice(F.col("sg"), F.lit(1), F.col("L"))).alias("pg"))
+        .select("k", F.col("pg.g").alias("g"))
+    )
+    return (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_tokens: int = 0,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard over distinct k-word shingles for every pair sharing at
-    least one shingle. Explode -> self-equi-join on the shingle (the
-    blocking key) -> per-pair intersection count -> Jaccard.
+    """Exact Jaccard >= threshold over distinct k-word shingles.
+
+    Candidate generation (the scale lever):
+      * ``prefix_filter=True`` (default): rarest-first prefix blocking
+        (see :func:`ngram_prefix_candidates`) — exact, and bounded on
+        boilerplate-heavy corpora where plain shared-shingle blocking
+        degenerates toward all-pairs.
+      * ``prefix_filter=False``: plain shared-shingle equi-join (kept for
+        A/B; every pair sharing >=1 shingle is a candidate).
+
+    ``max_tokens`` > 0 bounds shingling to the first N tokens (standard
+    near-dup practice for 50KB+ documents). Verification is always exact
+    Jaccard over the full (bounded) distinct-shingle sets.
     """
     sh = df.select(
-        F.col(key_col).alias("k"), word_shingles(F.col(text_col), k).alias("sh")
+        F.col(key_col).alias("k"),
+        word_shingles(F.col(text_col), k, max_tokens=max_tokens).alias("sh"),
     )
+    if prefix_filter:
+        cand = ngram_prefix_candidates(sh, threshold)
+        pairs = cand.join(
+            sh.withColumnRenamed("k", "key_a").withColumnRenamed("sh", "sh_a"),
+            "key_a",
+        ).join(
+            sh.withColumnRenamed("k", "key_b").withColumnRenamed("sh", "sh_b"),
+            "key_b",
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            pairs.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("key_a", "key_b", "jaccard")
+        )
     sizes = sh.select("k", F.size("sh").alias("n"))
     ex = sh.select("k", F.explode("sh").alias("g"))
     common = (

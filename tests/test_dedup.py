@@ -85,6 +85,86 @@ def test_simhash_near_pairs(docs):
     assert not any((a in (3, 4)) ^ (b in (3, 4)) for (a, b) in pairs)
 
 
+def test_ngram_prefix_filter_exact_vs_plain_blocking(spark):
+    """Prefix-filtered candidate generation must return EXACTLY the same
+    verified pair set as plain shared-shingle blocking (it is a lossless
+    filter, not an approximation)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 60"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.greatest(F.lit(1), F.floor(F.size(toks) * 3 / 4)).cast("int")
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), keep), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    a = {
+        (r.key_a, r.key_b): round(r.jaccard, 12)
+        for r in ngram_jaccard_pairs(
+            corpus, k=4, threshold=0.3, prefix_filter=True
+        ).collect()
+    }
+    b = {
+        (r.key_a, r.key_b): round(r.jaccard, 12)
+        for r in ngram_jaccard_pairs(
+            corpus, k=4, threshold=0.3, prefix_filter=False
+        ).collect()
+    }
+    assert a and a == b
+
+
+def test_ngram_prefix_filter_bounds_boilerplate_candidates(spark):
+    """Duplicated-boilerplate corpus: every doc shares a header shingle, so
+    plain shared-shingle blocking candidates grow ~n^2 while rarest-first
+    prefixes keep only the true near-dup pairs."""
+    from jarvis_ocr_service_spark.functions.dedup import (
+        ngram_prefix_candidates,
+        word_shingles,
+    )
+
+    header = "subscribe to our newsletter terms of service privacy policy"
+    rows = [
+        (i, header + " " + " ".join(f"u{i}x{j}" for j in range(12)))
+        for i in range(80)
+    ]
+    rows += [(10000, rows[0][1]), (10001, rows[1][1])]  # two exact dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(
+        F.col("doc_id").alias("k"), word_shingles(F.col("text"), 3).alias("sh")
+    )
+    n_prefix = ngram_prefix_candidates(sh, threshold=0.8).count()
+    # plain blocking: every pair shares the header shingles -> ~n^2/2
+    ex = sh.select("k", F.explode("sh").alias("g"))
+    n_plain = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.k") < F.col("b.k")))
+        .select("a.k", "b.k")
+        .distinct()
+        .count()
+    )
+    assert n_plain > 3000  # all-pairs-ish
+    assert n_prefix <= 20, (n_prefix, n_plain)  # only near-dup candidates
+    # and the exact pairs are still found
+    pairs = {(r.key_a, r.key_b)
+             for r in ngram_jaccard_pairs(df, k=3, threshold=0.8).collect()}
+    assert (0, 10000) in pairs and (1, 10001) in pairs
+
+
+def test_ngram_max_tokens_bounds_shingling(spark):
+    """max_tokens bounds the shingled region: two docs identical in the
+    first 100 tokens but divergent after must pair at max_tokens=100 and
+    not without the bound."""
+    common = " ".join(f"w{i}" for i in range(100))
+    a = common + " " + " ".join(f"a{i}" for i in range(400))
+    b = common + " " + " ".join(f"b{i}" for i in range(400))
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    bounded = ngram_jaccard_pairs(df, k=3, threshold=0.9, max_tokens=100)
+    assert {(r.key_a, r.key_b) for r in bounded.collect()} == {(0, 1)}
+    unbounded = ngram_jaccard_pairs(df, k=3, threshold=0.9)
+    assert unbounded.count() == 0
+
+
 def test_simhash_vectorized_matches_scalar_reference(spark):
     """The batch-numpy UDF must be byte-identical to the scalar definition
     (which the DuckDB oracle also mirrors)."""
