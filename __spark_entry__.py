@@ -402,27 +402,34 @@ def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # float scoring — rows-only check (no SQL oracle: float sum order)
-    from jarvis_ocr_service_spark.functions.simsearch import cosine_topk
+    """Cosine top-k in its deterministic quantized form (integer dot/norms,
+    pinned IEEE double expression) — oracle-checked; the float variant
+    stays in the library, unit-tested against brute force."""
+    from jarvis_ocr_service_spark.functions.simsearch import cosine_topk_quantized
 
     emb = _tbl(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).first().embedding
-    return cosine_topk(emb, qvec, k=10)
+    return cosine_topk_quantized(emb, qvec, k=10)
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jarvis_ocr_service_spark.functions.simsearch import lsh_bucketed_topk
+    """Multi-probe hyperplane-LSH ANN, deterministic quantized form
+    (integer sign bits + quantized cosine) — oracle-checked."""
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        lsh_bucketed_topk_quantized,
+    )
 
     emb = _tbl(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).first().embedding
-    return lsh_bucketed_topk(emb, qvec, k=10, n_planes=4, probe_hamming=2)
+    return lsh_bucketed_topk_quantized(emb, qvec, k=10, n_planes=4, probe_hamming=2)
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-blocked. Self-test corpus:
-    each vector unioned with an exact twin (vec_id+100000) — every twin
-    pair must be found (same bucket guaranteed). Rows-only check (float
-    cosine); exactness covered by tests/test_simsearch.py."""
+    """Embedding-cosine near-dup pairs, banded-LSH blocked (24 quantized
+    sign bits, 6 bands of 4). Self-test corpus: each vector unioned with an
+    exact twin (vec_id+100000) — every twin pair must be found (identical
+    quantized vectors agree on every band). Oracle replicates the banding
+    exactly (all bits are integer-determined)."""
     from jarvis_ocr_service_spark.functions.simsearch import embedding_near_dup_pairs
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -1038,6 +1045,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, dot_q FROM scored ORDER BY dot_q DESC, vec_id LIMIT 10
         """,
         "simhash_near_pairs": _duck_simhash_pairs(10, "doc_id < 200"),
+        "cosine_topk": _duck_cosine_topk(),
+        "lsh_bucketed_topk": _duck_lsh_topk(4, 2),
+        "embedding_near_dups": _duck_embedding_near_dups(0.999, 24, 6),
         "rolling_hash": _duck_rolling_hash(),
         "image_meta": _duck_image_meta(),
     }
@@ -1145,6 +1155,138 @@ def _duck_image_meta() -> str:
                CAST(height AS BIGINT) AS height,
                CAST(n_bytes AS BIGINT) AS n_bytes
         FROM (VALUES {values}) v(url, fmt, width, height, n_bytes)
+    """
+
+
+# --- quantized embedding oracles (all-integer blocking + pinned doubles) ---
+# The fixtures' embedding dim is 64 at every sf; the oracle SQL hardcodes it
+# (the library functions stay dim-agnostic).
+_EMB_DIM = 64
+_EMB_SCALE = 1000
+
+
+def _duck_quant_vec(expr: str) -> str:
+    return (
+        f"list_transform({expr}, x -> CAST(round(CAST(x AS DOUBLE) * "
+        f"{_EMB_SCALE}) AS BIGINT))"
+    )
+
+
+def _duck_dot_q(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {_EMB_DIM}), "
+        f"i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+def _duck_cos_q(dot: str, n2a: str, n2b: str) -> str:
+    """Pinned IEEE double: CAST->sqrt->mul->div, same op order as Spark's
+    quantized_cosine_col — bit-identical on identical integer inputs."""
+    return (
+        f"CASE WHEN {n2a} = 0 OR {n2b} = 0 THEN 0.0e0 ELSE "
+        f"CAST({dot} AS DOUBLE) / (sqrt(CAST({n2a} AS DOUBLE)) * "
+        f"sqrt(CAST({n2b} AS DOUBLE))) END"
+    )
+
+
+def _duck_plane_literal(plane) -> str:
+    return "[" + ", ".join(str(int(x)) for x in plane) + "]"
+
+
+def _duck_cosine_topk() -> str:
+    return f"""
+        WITH q AS (SELECT {_duck_quant_vec('embedding')} AS qq
+                   FROM embeddings WHERE vec_id = 0),
+        v AS (SELECT vec_id, {_duck_quant_vec('embedding')} AS vq
+              FROM embeddings),
+        s AS (SELECT vec_id,
+                     {_duck_dot_q('vq', 'qq')} AS dot,
+                     {_duck_dot_q('vq', 'vq')} AS n2v,
+                     {_duck_dot_q('qq', 'qq')} AS n2q
+              FROM v, q)
+        SELECT vec_id, {_duck_cos_q('dot', 'n2v', 'n2q')} AS cos_sim
+        FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+def _duck_lsh_topk(n_planes: int = 4, probe_hamming: int = 2) -> str:
+    """Mirror of lsh_bucketed_topk_quantized: integer sign-bit buckets for
+    every vector AND the query, probe = Hamming(bucket, qbucket) <=
+    probe_hamming, quantized-cosine scoring."""
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        _hyperplanes_quantized,
+    )
+
+    planes = _hyperplanes_quantized(_EMB_DIM, n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN {_duck_dot_q('vq', _duck_plane_literal(p))} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, {_duck_quant_vec('embedding')} AS vq
+                   FROM embeddings),
+        b AS (SELECT vec_id, vq, {bucket} AS bucket FROM v),
+        q AS (SELECT vq AS qq, bucket AS qbucket FROM b WHERE vec_id = 0),
+        cand AS (SELECT b.vec_id, b.vq, q.qq
+                 FROM b, q
+                 WHERE bit_count(xor(CAST(b.bucket AS BIGINT),
+                                     CAST(q.qbucket AS BIGINT)))
+                       <= {probe_hamming}),
+        s AS (SELECT vec_id,
+                     {_duck_dot_q('vq', 'qq')} AS dot,
+                     {_duck_dot_q('vq', 'vq')} AS n2v,
+                     {_duck_dot_q('qq', 'qq')} AS n2q
+              FROM cand)
+        SELECT vec_id, {_duck_cos_q('dot', 'n2v', 'n2q')} AS cos_sim
+        FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+def _duck_embedding_near_dups(
+    threshold: float = 0.999, n_planes: int = 24, bands: int = 6
+) -> str:
+    """Mirror of the banded embedding_near_dup_pairs on the twins corpus:
+    same quantized planes, same band keys (here composed as band*2^r+key —
+    equivalent join predicate to Spark's (band, key) pair)."""
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        _hyperplanes_quantized,
+    )
+
+    r = n_planes // bands
+    planes = _hyperplanes_quantized(_EMB_DIM, n_planes)
+    bits = [
+        f"(CASE WHEN {_duck_dot_q('vq', _duck_plane_literal(p))} >= 0 "
+        "THEN 1 ELSE 0 END)"
+        for p in planes
+    ]
+    band_keys = [
+        str((1 << r) * b) + " + " + " + ".join(
+            f"({bits[b * r + j]} * {1 << j})" for j in range(r)
+        )
+        for b in range(bands)
+    ]
+    keys_arr = "[" + ", ".join(band_keys) + "]"
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings),
+        v AS (SELECT vec_id, {_duck_quant_vec('embedding')} AS vq FROM base),
+        banded AS (SELECT vec_id, unnest({keys_arr}) AS bk FROM v),
+        cand AS (SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+                 FROM banded a JOIN banded b
+                 ON a.bk = b.bk AND a.vec_id < b.vec_id),
+        pairs AS (SELECT c.key_a, c.key_b,
+                         {_duck_dot_q('va.vq', 'vb.vq')} AS dot,
+                         {_duck_dot_q('va.vq', 'va.vq')} AS n2a,
+                         {_duck_dot_q('vb.vq', 'vb.vq')} AS n2b
+                  FROM cand c
+                  JOIN v va ON va.vec_id = c.key_a
+                  JOIN v vb ON vb.vec_id = c.key_b)
+        SELECT key_a, key_b, {_duck_cos_q('dot', 'n2a', 'n2b')} AS cos_sim
+        FROM pairs
+        WHERE {_duck_cos_q('dot', 'n2a', 'n2b')} >= {threshold}
     """
 
 

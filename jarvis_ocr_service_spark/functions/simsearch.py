@@ -36,6 +36,45 @@ def _dot(a, b):
     )
 
 
+def _dot_long(a, b):
+    """Exact integer dot product of two array<long> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _round_half_up(x: float) -> int:
+    """Half-away-from-zero (matches Spark F.round and SQL engines;
+    Python's built-in round() is banker's rounding and would diverge)."""
+    v = float(x)
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+def quantized_vec(col, scale: int = 1000):
+    """array<float> -> array<long> by round(x*scale), HALF_UP. The basis of
+    every *deterministic* scoring path: integer sums are order-independent
+    and reproducible in any engine."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def quantized_cosine_col(aq, bq):
+    """Deterministic cosine from two integer-quantized vectors: the dot and
+    squared norms are exact integers; the final expression uses only
+    correctly-rounded IEEE ops (int->double cast, sqrt, *, /) in a pinned
+    order, so any engine reproduces the double bit-for-bit."""
+    dot = _dot_long(aq, bq)
+    n2a = _dot_long(aq, aq)
+    n2b = _dot_long(bq, bq)
+    return F.when((n2a == 0) | (n2b == 0), F.lit(0.0)).otherwise(
+        dot.cast("double")
+        / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
+    )
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
@@ -96,6 +135,37 @@ def quantized_dot_topk(
     )
 
 
+def cosine_topk_quantized(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact top-k by *quantized* cosine — the oracle-checkable variant of
+    :func:`cosine_topk` (float sums are order-dependent; the quantized
+    score is a pinned function of exact integers, identical in any engine).
+    Returns (id, cos_sim) with cos_sim the deterministic double."""
+    qq = [_round_half_up(float(x) * scale) for x in query_vec]
+    n2q = sum(v * v for v in qq)  # exact, driver-side
+    q = F.array(*[F.lit(v).cast("long") for v in qq])
+    staged = df.select(
+        F.col(id_col), quantized_vec(F.col(vec_col), scale).alias("_vq")
+    )
+    dot = _dot_long(F.col("_vq"), q)
+    n2v = _dot_long(F.col("_vq"), F.col("_vq"))
+    cos = F.when((n2v == 0) | (F.lit(n2q) == 0), F.lit(0.0)).otherwise(
+        dot.cast("double")
+        / (F.sqrt(n2v.cast("double")) * F.sqrt(F.lit(n2q).cast("double")))
+    )
+    return (
+        staged.select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes, deterministic seed)
 # ---------------------------------------------------------------------------
@@ -128,6 +198,83 @@ def lsh_bucket_col(vec_col, planes: List[List[float]]):
         bit = (_dot(vec_col.cast("array<double>"), p) >= 0).cast("int")
         bucket = bucket + bit * (2**i)
     return bucket
+
+
+def _hyperplanes_quantized(
+    dim: int, n_planes: int, seed: int = 42, pscale: int = 10**6
+) -> List[List[int]]:
+    """Integer-quantized hyperplanes: sign bits become exact integer
+    comparisons — the bucket assignment is then engine-independent (a float
+    dot near 0 could flip sign under a different summation order)."""
+    return [
+        [_round_half_up(x * pscale) for x in p]
+        for p in _hyperplanes(dim, n_planes, seed)
+    ]
+
+
+def _sig_q(vq: List[int], planes_q: List[List[int]]) -> int:
+    """Driver-side signature of a quantized vector (exact int math)."""
+    b = 0
+    for i, p in enumerate(planes_q):
+        if sum(x * y for x, y in zip(vq, p)) >= 0:
+            b |= 1 << i
+    return b
+
+
+def lsh_bucket_col_quantized(vq_col, planes_q: List[List[int]]):
+    """Bucket id from quantized sign bits. ``vq_col`` must be the staged
+    array<long> column (it is referenced once per plane — stage it as a
+    real column, don't inline the quantization transform n_planes times)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes_q):
+        p = F.array(*[F.lit(int(x)).cast("long") for x in plane])
+        bit = (_dot_long(vq_col, p) >= 0).cast("int")
+        bucket = bucket + bit * (2**i)
+    return bucket
+
+
+def lsh_bucketed_topk_quantized(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    scale: int = 1000,
+) -> DataFrame:
+    """ANN top-k, fully deterministic: quantized-integer bucket assignment
+    (multi-probe within ``probe_hamming`` bits of the query's bucket) and
+    quantized cosine scoring — the oracle-checkable variant of
+    :func:`lsh_bucketed_topk`."""
+    dim = len(query_vec)
+    planes_q = _hyperplanes_quantized(dim, n_planes, seed)
+    qq = [_round_half_up(float(x) * scale) for x in query_vec]
+    n2q = sum(v * v for v in qq)
+    qsig = _sig_q(qq, planes_q)
+    probe = [
+        b for b in range(2**n_planes) if bin(b ^ qsig).count("1") <= probe_hamming
+    ]
+    staged = df.select(
+        F.col(id_col), quantized_vec(F.col(vec_col), scale).alias("_vq")
+    )
+    bucketed = staged.withColumn(
+        "_bucket", lsh_bucket_col_quantized(F.col("_vq"), planes_q)
+    )
+    cand = bucketed.filter(F.col("_bucket").isin(probe))
+    q = F.array(*[F.lit(v).cast("long") for v in qq])
+    dot = _dot_long(F.col("_vq"), q)
+    n2v = _dot_long(F.col("_vq"), F.col("_vq"))
+    cos = F.when((n2v == 0) | (F.lit(n2q) == 0), F.lit(0.0)).otherwise(
+        dot.cast("double")
+        / (F.sqrt(n2v.cast("double")) * F.sqrt(F.lit(n2q).cast("double")))
+    )
+    return (
+        cand.select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
 
 
 def lsh_bucketed_topk(
@@ -267,36 +414,89 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 6,
+    n_planes: int = 24,
+    bands: int = 6,
     seed: int = 42,
+    scale: int = 1000,
+    max_bucket: int = 0,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs in
-    the same hyperplane bucket are scored (near-identical vectors agree on
-    all sign bits with high probability)."""
-    b = df.select(
-        F.col(id_col).alias("k"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket_col(F.col(vec_col), _hyperplanes_cached(df, vec_col, n_planes, seed)).alias(
-            "bucket"
-        ),
+    """Embedding-cosine near-duplicate pairs, *banded* LSH-blocked.
+
+    Scale shape (the r1 single-bucket version was a 100-TB killer):
+
+    * ``n_planes`` quantized-integer sign bits split into ``bands`` bands
+      of r = n_planes/bands bits; a pair is a candidate iff it agrees on
+      >=1 whole band (OR over bands, like MinHash-LSH). With cos >= 0.95
+      (plane-split prob ~0.10) and 6 bands of 4 bits: recall ~1-(1-0.9^4)^6
+      ~ 0.998, while a random pair collides on a band with p ~ 6/16 per
+      band-key distribution rather than landing in one of only 2^6 global
+      buckets — in-bucket pair counts grow per-band-key, tunable by r.
+    * recall is tunable (more bands), candidate width is tunable (wider
+      bands), and ``max_bucket`` > 0 caps any single (band, key) bucket —
+      degenerate mega-buckets (e.g. a corpus of near-zero vectors) are
+      dropped from candidate generation rather than exploding the join
+      (documented recall tradeoff, off by default).
+    * bucket bits come from exact integer dots (quantized planes+vectors),
+      and verification uses the deterministic quantized cosine — the whole
+      operator is SQL-oracle-checkable.
+
+    Returns (key_a, key_b, cos_sim), key_a < key_b, cos_sim >= threshold.
+    """
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    r = n_planes // bands
+    dim = len(df.select(vec_col).first()[0])  # 1-row driver probe
+    planes_q = _hyperplanes_quantized(dim, n_planes, seed)
+    staged = df.select(
+        F.col(id_col).alias("k"), quantized_vec(F.col(vec_col), scale).alias("vq")
     )
-    pairs = (
-        b.alias("a")
+    bits = [
+        (
+            _dot_long(
+                F.col("vq"),
+                F.array(*[F.lit(int(x)).cast("long") for x in planes_q[i]]),
+            )
+            >= 0
+        ).cast("int")
+        for i in range(n_planes)
+    ]
+    band_keys = [
+        sum((bits[b * r + j] * (2**j)) for j in range(r)) for b in range(bands)
+    ]
+    banded = staged.select(
+        "k",
+        F.posexplode(F.array(*band_keys)).alias("band", "bkey"),
+    )
+    if max_bucket:
+        widths = banded.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        banded = banded.join(
+            widths.filter(F.col("_w") <= max_bucket).drop("_w"),
+            ["band", "bkey"],
+        )
+    cand = (
+        banded.alias("a")
         .join(
-            b.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.k") < F.col("b.k")),
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.k") < F.col("b.k")),
         )
-        .select(
-            F.col("a.k").alias("key_a"),
-            F.col("b.k").alias("key_b"),
-            cosine_col(
-                F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")
-            ).alias("cos_sim"),
-        )
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
     )
-    return pairs.filter(F.col("cos_sim") >= threshold)
-
-
-def _hyperplanes_cached(df, vec_col, n_planes, seed):
-    dim = len(df.select(vec_col).first()[0])
-    return _hyperplanes(dim, n_planes, seed)
+    vq_only = staged.select("k", "vq")
+    pairs = cand.join(
+        vq_only.withColumnRenamed("k", "key_a").withColumnRenamed("vq", "vq_a"),
+        "key_a",
+    ).join(
+        vq_only.withColumnRenamed("k", "key_b").withColumnRenamed("vq", "vq_b"),
+        "key_b",
+    )
+    cos = quantized_cosine_col(F.col("vq_a"), F.col("vq_b"))
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= float(threshold))
+        .select("key_a", "key_b", "cos_sim")
+    )

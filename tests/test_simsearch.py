@@ -104,6 +104,105 @@ def test_ivf_probes_fewer_rows_than_full_scan(emb, qvec, spark):
     assert max(r["count"] for r in sizes) < emb.count()
 
 
+def test_embedding_near_dup_recall_on_perturbed_corpus(spark, emb):
+    """Banded blocking must recover ~all planted perturbed twins at
+    threshold 0.95 (the r1 single-2^6-bucket version missed any twin that
+    crossed one hyperplane; 6 OR-combined bands fix the recall hole)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    base = [(r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()]
+
+    def perturb(vid, v):
+        # deterministic tiny rotation-ish noise: ~2% relative -> cos ~0.9998
+        return [
+            x + 0.02 * math.sin(vid * 31 + i) * max(abs(x), 0.02)
+            for i, x in enumerate(v)
+        ]
+
+    rows = []
+    planted = set()
+    for vid, v in base:
+        pv = perturb(vid, v)
+        # keep only twins that truly score >= 0.95 (they all should)
+        dot = sum(a * b for a, b in zip(v, pv))
+        cos = dot / (
+            math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in pv))
+        )
+        rows.append((vid, v))
+        rows.append((vid + 10000, pv))
+        if cos >= 0.95:
+            planted.add((vid, vid + 10000))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = {
+        (r.key_a, r.key_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert len(planted) >= 400  # fixture sanity
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.95, recall
+
+
+def test_embedding_near_dup_candidates_scale_subquadratically(spark):
+    """Candidate-pair growth on a 10x corpus: with band width scaled to the
+    corpus (r = 4 -> 8 bits), candidates must grow far slower than the
+    ~100x a fixed-2^6-bucket equality join would produce."""
+    from pyspark.sql import functions as F
+
+    big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    small = big.filter(F.col("vec_id") < 200)
+    # threshold -1 keeps every verified candidate -> counts candidates
+    n_small = embedding_near_dup_pairs(
+        small, threshold=-1.0, n_planes=24, bands=6
+    ).count()
+    n_big = embedding_near_dup_pairs(
+        big, threshold=-1.0, n_planes=48, bands=6
+    ).count()
+    assert n_small > 0
+    ratio = n_big / max(n_small, 1)
+    assert ratio < 35, (n_small, n_big, ratio)  # ~quadratic would be ~100x
+
+
+def test_embedding_near_dup_max_bucket_caps_degenerate_buckets(spark):
+    """A corpus of near-identical vectors puts everything in one bucket;
+    max_bucket drops those groups from candidate generation instead of
+    exploding the join."""
+    rows = [(i, [1.0 + i * 1e-9] * 8) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dup_pairs(
+        df, threshold=0.9, n_planes=8, bands=4, max_bucket=10
+    )
+    assert capped.count() == 0  # every bucket wider than the cap -> dropped
+    uncapped = embedding_near_dup_pairs(df, threshold=0.9, n_planes=8, bands=4)
+    assert uncapped.count() == 50 * 49 // 2
+
+
+def test_quantized_cosine_topk_matches_float_head(emb, qvec):
+    from jarvis_ocr_service_spark.functions.simsearch import cosine_topk_quantized
+
+    got = [r.vec_id for r in cosine_topk_quantized(emb, qvec, k=10).collect()]
+    exp = _brute_force_py(emb.collect(), qvec, 10)
+    assert got[0] == 0  # self-match first
+    assert len(set(got) & set(exp)) >= 8  # quantization only reorders near-ties
+
+
+def test_lsh_quantized_recall(emb, qvec):
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        lsh_bucketed_topk_quantized,
+    )
+
+    exact = set(_brute_force_py(emb.collect(), qvec, 10))
+    ann = {
+        r.vec_id
+        for r in lsh_bucketed_topk_quantized(
+            emb, qvec, k=10, n_planes=4, probe_hamming=2
+        ).collect()
+    }
+    assert 0 in ann
+    assert len(ann & exact) >= 6
+
+
 def test_embedding_near_dup_pairs_self(spark, emb):
     # duplicate the table with shifted ids -> every vector has an exact twin
     from pyspark.sql import functions as F
