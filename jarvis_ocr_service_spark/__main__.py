@@ -103,6 +103,9 @@ def main(argv=None) -> int:
             pdf_mode=args.pdf_mode,
         )
         corpus.write.mode("overwrite").parquet(args.output)
+        from jarvis_ocr_service_spark.plans.caching import release_cached
+
+        release_cached(corpus)  # drop the LSH plan's persisted blocks
         n = spark.read.parquet(args.output).count()
         print(f"prepared {n} clean documents -> {args.output}")
         return 0

@@ -207,10 +207,13 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    return attach_cached(
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= verify_threshold)
-        .select("key_a", "key_b", "jaccard")
+        .select("key_a", "key_b", "jaccard"),
+        [shingled],
     )
 
 

@@ -130,9 +130,18 @@ def extract_document(
     enabled_tiers: Optional[List[str]] = None,
     pdf_mode: str = PDF_MODE_PARSE,
     max_text_bytes: int = MAX_TEXT_BYTES,
+    pinned_tier: Optional[str] = None,
 ) -> Dict:
     """Extract one document through the tier cascade. Total function —
-    returns an error *row* on bad input, never raises."""
+    returns an error *row* on bad input, never raises.
+
+    ``pinned_tier`` reproduces the reference's specific-provider mode
+    (app/provider_manager.py:329-345 + worker path): exactly that tier
+    runs and **validation is bypassed entirely** — the extractor's output
+    is returned as-is (invalid-looking text included). An inapplicable /
+    unavailable pinned tier maps to ``bad_request``, mirroring the
+    reference's ProviderUnavailableException -> HTTP 400 (app/main.py:285).
+    """
     kind = dispatch.sniff_kind(payload or b"")
 
     if kind == dispatch.KIND_EMPTY:
@@ -144,6 +153,11 @@ def extract_document(
         return _error_result(
             kind, lang, ERR_UNSUPPORTED_MEDIA, MSG_PDF_UNSUPPORTED,
             reason=MSG_PDF_UNSUPPORTED,
+        )
+
+    if pinned_tier is not None:
+        return _extract_pinned(
+            pinned_tier, kind, payload, lang, max_text_bytes
         )
 
     tier_order = get_tier_order(enabled_tiers if enabled_tiers is not None
@@ -204,6 +218,60 @@ def extract_document(
         tier=last_tier or "unknown",
         reason=validation_reason,
     )
+
+
+def _extract_pinned(
+    tier: str, kind: str, payload: bytes, lang: str, max_text_bytes: int
+) -> Dict:
+    """Specific-provider mode: run exactly ``tier``, skip validation
+    (reference provider_manager.py:329-345 — the pinned path calls
+    provider.process() and returns the result with no validity loop)."""
+    if tier not in AVAILABLE_TIERS:
+        return _error_result(
+            kind, lang, "bad_request",
+            f"Provider '{tier}' is not available",
+        )
+    try:
+        extracted = _tier_extract(tier, kind, payload, lang, {})
+    except OcrUnavailable:
+        return _error_result(
+            kind, lang, "bad_request",
+            f"Provider '{tier}' is not available",
+        )
+    except Exception as e:
+        return _error_result(
+            kind, lang, ERR_NO_VALID_OUTPUT,
+            f"Tier error: {str(e)[:MAX_REASON_CHARS]}", tier=tier,
+        )
+    if extracted is None:
+        # tier exists but cannot handle this content kind — the reference
+        # equivalent is a provider.process() failure on that payload
+        return _error_result(
+            kind, lang, "bad_request",
+            f"Provider '{tier}' is not available",
+        )
+    text, spans = extracted
+    norm = normalize_text(text)
+    if norm != text:
+        spans = _line_spans(norm, spans[0][2] if spans else "text")
+    final_text, was_truncated = truncate_text(norm, max_text_bytes)
+    if was_truncated:
+        spans = _clip_spans(spans, len(final_text))
+    return {
+        "content_kind": kind,
+        "text": final_text,
+        "truncated": was_truncated,
+        "language": lang,
+        # no validator ran: confidence is the provider-accepted constant
+        "confidence": 1.0,
+        "text_len": text_len_bytes(final_text),
+        "is_valid": True,  # accepted-without-validation (reference mode)
+        "tier": tier,
+        "validation_reason": None,
+        "error_code": None,
+        "error_message": None,
+        "spans": spans,
+    }
 
 
 def _line_spans(text: str, tag: str) -> List[Span]:

@@ -44,6 +44,7 @@ def make_extract_map_fn(
     pdf_mode: str = PDF_MODE_PARSE,
     max_text_bytes: int = MAX_TEXT_BYTES,
     passthrough_cols: Optional[List[str]] = None,
+    pinned_tier: Optional[str] = None,
 ):
     """Build the fused-cascade ``mapInPandas`` function.
 
@@ -68,6 +69,7 @@ def make_extract_map_fn(
                     enabled_tiers=enabled_tiers,
                     pdf_mode=pdf_mode,
                     max_text_bytes=max_text_bytes,
+                    pinned_tier=pinned_tier,
                 )
                 for payload, lang in zip(pdf["html"], pdf["lang"])
             ]
@@ -98,6 +100,7 @@ def run_extract(
     enabled_tiers: Optional[List[str]] = None,
     pdf_mode: str = PDF_MODE_PARSE,
     max_text_bytes: int = MAX_TEXT_BYTES,
+    pinned_tier: Optional[str] = None,
 ):
     """pages DataFrame -> results DataFrame via the fused Arrow stage."""
     from jarvis_ocr_service_spark.schema import RESULTS_SCHEMA
@@ -110,6 +113,7 @@ def run_extract(
             enabled_tiers=enabled_tiers,
             pdf_mode=pdf_mode,
             max_text_bytes=max_text_bytes,
+            pinned_tier=pinned_tier,
         ),
         schema=RESULTS_SCHEMA,
     )

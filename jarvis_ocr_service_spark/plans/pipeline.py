@@ -52,8 +52,20 @@ def run_pipeline(
     pdf_mode: str = PDF_MODE_PARSE,
     max_text_bytes: int = MAX_TEXT_BYTES,
     strategy: str = "fused",
+    pinned_tier: Optional[str] = None,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> RESULTS_SCHEMA DataFrame."""
+    """pages(url, warc_ts, html, text, lang) -> RESULTS_SCHEMA DataFrame.
+
+    ``pinned_tier`` = the reference's specific-provider mode: exactly that
+    tier runs and validation is bypassed (see cascade.extract_document).
+    """
+    if pinned_tier is not None:
+        return run_extract(
+            pages,
+            pdf_mode=pdf_mode,
+            max_text_bytes=max_text_bytes,
+            pinned_tier=pinned_tier,
+        )
     if strategy == "fused":
         return run_extract(
             pages,
@@ -98,6 +110,7 @@ def _run_staged(
     )
     accepted: List[DataFrame] = []
     final_failed: Optional[DataFrame] = None
+    persisted: List[DataFrame] = []
 
     terminal = F.col("is_valid") | F.col("error_code").isin(
         "unsupported_media", "image_not_found"
@@ -122,6 +135,7 @@ def _run_staged(
             cursor,
             ["url", "warc_ts"],
         ).persist()
+        persisted.append(pass_df)
 
         accepted.append(pass_df.filter(terminal).drop("_prev_tier", "_prev_reason"))
         failed = pass_df.filter(~terminal)
@@ -160,7 +174,9 @@ def _run_staged(
             .drop("_prev_tier", "_prev_reason")
         )
         out = out.unionByName(fixed)
-    return out.select(*accepted[0].columns)
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    return attach_cached(out.select(*accepted[0].columns), persisted)
 
 
 # ---------------------------------------------------------------------------
@@ -310,6 +326,7 @@ def run_batch_escalation(
                            else AVAILABLE_TIERS)
     src = pages.select(batch_col.alias("_batch"), "url", "warc_ts", "html", "lang")
     remaining = src.persist()
+    persisted: List[DataFrame] = [remaining]
     out: List[DataFrame] = []
     history: List[DataFrame] = []  # failing-batch passes, for the fallback
     bad_keys = None
@@ -325,6 +342,7 @@ def run_batch_escalation(
             pass_res, remaining.select("_batch", "url", "warc_ts"),
             ["url", "warc_ts"],
         ).persist()
+        persisted.append(pass_res)
         # terminal errors (pdf-reject / empty) never block the batch:
         # the gate counts only rows a tier could conceivably improve.
         gate = pass_res.groupBy("_batch").agg(
@@ -343,6 +361,7 @@ def run_batch_escalation(
         )
         if i < len(tiers) - 1:
             remaining = src.join(F.broadcast(bad_keys), "_batch").persist()
+            persisted.append(remaining)
 
     # Batches no tier fully satisfied: each row keeps its result from the
     # last pass that actually *attempted* it (a pass whose single tier is
@@ -369,4 +388,6 @@ def run_batch_escalation(
     result = out[0]
     for df in out[1:]:
         result = result.unionByName(df.select(*out[0].columns))
-    return result.withColumnRenamed("_batch", "batch_key")
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    return attach_cached(result.withColumnRenamed("_batch", "batch_key"), persisted)

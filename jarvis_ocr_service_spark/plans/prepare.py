@@ -68,4 +68,8 @@ def prepare_training_data(
         exact, text_col="text", key_col="url", verify_threshold=near_dup_threshold
     )
     losers = pairs.select(F.col("key_b").alias("url")).distinct()
-    return exact.join(losers, "url", "left_anti")
+    from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
+
+    return attach_cached(
+        exact.join(losers, "url", "left_anti"), carried_cached(pairs)
+    )

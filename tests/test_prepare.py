@@ -32,3 +32,24 @@ def test_prepare_without_near_dup_stage(spark):
     corpus = prepare_training_data(pages, near_dup_threshold=None)
     assert corpus.count() > 0
     assert set(corpus.columns) == {"url", "text", "n_tokens", "lang_guess", "quality"}
+
+
+def test_prepare_releases_cached_blocks(spark, tmp_path):
+    """Cache hygiene: after the consuming action + release_cached, the
+    LSH plan's persisted intermediates must not linger in the session
+    (repeated prepare runs would otherwise accumulate cached blocks)."""
+    from jarvis_ocr_service_spark.plans.caching import carried_cached, release_cached
+    from jarvis_ocr_service_spark.plans.prepare import prepare_training_data
+    from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    corpus = prepare_training_data(synthesize_pages(spark, 100, num_partitions=4))
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "corpus"))
+    assert carried_cached(corpus)  # the LSH persist was attached
+    during = jsc.getPersistentRDDs().size()
+    assert during > before  # it really was persisted during the action
+    n = release_cached(corpus)
+    assert n >= 1
+    assert jsc.getPersistentRDDs().size() == before  # all released
+    assert release_cached(corpus) == 0  # idempotent
