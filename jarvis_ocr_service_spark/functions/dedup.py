@@ -4,16 +4,17 @@ All signature computation is JVM-side (built-in functions over arrays —
 ``transform``/``array_min``/``md5``), so the only Python in any of these
 is the SimHash bit-majority (vectorized pandas UDF). Shuffles happen only
 where semantically required (the bucket-join / group-by), and candidate
-generation is always *blocked* (LSH bands / shared shingles) — never an
-O(n²) cross join.
+generation is always *blocked* (LSH bands / frequency-ordered prefix
+shingles) — never an O(n²) cross join.
 
 Scale notes (100 TB):
   * exact dedup — single hash-shuffle on a 16-byte digest, not the text;
   * MinHash-LSH — signature is a narrow map-side projection; the explode
     factor is `bands` (default 8) small rows per doc; the band join is the
     one shuffle and AQE handles skewed buckets;
-  * SimHash — one Arrow stage for signatures, then the 4-band pigeonhole
-    join (Hamming<=3 guaranteed caught) on 16-bit keys;
+  * SimHash — one vectorized Arrow stage for signatures (batch numpy,
+    md5 per distinct token), then a pigeonhole band join with
+    bands = max_hamming+1 (complete recall by construction);
   * hash choices are md5/xxhash64 — deterministic, partition-independent,
     and (for md5) reproducible in any SQL engine for oracle checks.
 """
