@@ -42,14 +42,15 @@ from jarvis_ocr_service_spark.config import (
 )
 
 _VOWELS = frozenset("aeiouyAEIOUY")
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
 
 # Letter counting is one C-level regex pass (a per-char Python isalpha()
 # loop costs ~15ms on a 50KB doc — this is the validator's hot path).
 # Definition: "letters" = \w minus digits/underscore (Unicode-aware);
 # shared by oracle and UDF, so it IS the semantic, not an approximation.
 _RE_NON_ALPHA = re.compile(r"[\W\d_]+")
-_RE_HAS_LETTER = re.compile(r"[^\W\d_]")
-_RE_HAS_VOWEL = re.compile(r"[aeiouyAEIOUY]")
 
 # The heuristics scan only this prefix of the text. Reference-faithful:
 # the reference's LLM validator sees text[:500] only
@@ -85,13 +86,19 @@ def validate_text(text: str) -> Tuple[bool, float, str]:
     n_alpha = len(_RE_NON_ALPHA.sub("", prefix))
     alpha_ratio = n_alpha / n if n else 0.0
 
+    # Word classification is the validator's hot loop (~500 words/doc):
+    # frozenset.isdisjoint(str) is a C-level scan, ~5x cheaper than a
+    # compiled-regex search per word. Semantics unchanged: for a word that
+    # passed isascii(), "has a letter" == contains [A-Za-z] (the
+    # Unicode-aware [^\W\d_] reduces to exactly that on ASCII), and
+    # "no vowel" == disjoint from aeiouyAEIOUY.
     n_ascii_words = 0
     n_garbled = 0
     for w in prefix.split():
-        if not w.isascii() or not _RE_HAS_LETTER.search(w):
+        if not w.isascii() or _ASCII_LETTERS.isdisjoint(w):
             continue
         n_ascii_words += 1
-        if len(w) >= GARBLED_WORD_MIN_LEN and not _RE_HAS_VOWEL.search(w):
+        if len(w) >= GARBLED_WORD_MIN_LEN and _VOWELS.isdisjoint(w):
             n_garbled += 1
     garbled_ratio = (n_garbled / n_ascii_words) if n_ascii_words else 0.0
 
