@@ -360,6 +360,38 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, k=5, threshold=0.4, max_tokens=500)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate clustering over a *chained* near-dup
+    graph: doc -> 3/4-prefix twin -> (3/4)^2-prefix twin. Adjacent links
+    share ~0.75 Jaccard (edges at threshold 0.6); doc<->grand-twin shares
+    ~0.56 (no direct edge) — so the full chain collapsing to the doc
+    exercises real transitivity, not pair-dropping."""
+    from jarvis_ocr_service_spark.functions.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+
+    def _twin(src: DataFrame, shift: int) -> DataFrame:
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        keep = F.greatest(F.lit(1), F.floor(F.size(toks) * 3 / 4)).cast("int")
+        return src.select(
+            (F.col("doc_id") + shift).alias("doc_id"),
+            F.array_join(F.slice(toks, F.lit(1), keep), " ").alias("text"),
+        )
+
+    t1 = _twin(docs, 100000)
+    t2 = _twin(t1, 100000)  # => doc_id + 200000, (3/4)^2 of the tokens
+    corpus = docs.unionByName(t1).unionByName(t2)
+    pairs = ngram_jaccard_pairs(corpus, k=4, threshold=0.6, max_tokens=500)
+    return dup_clusters(pairs)
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jarvis_ocr_service_spark.functions.textstats import with_text_stats
 
@@ -671,6 +703,7 @@ QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
     "ngram_jaccard": _q_ngram_jaccard,
+    "dedup_clusters": _q_dedup_clusters,
     "token_count": _q_token_count,
     "lang_id": _q_lang_id,
     "quality_score": _q_quality_score,
@@ -1045,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, dot_q FROM scored ORDER BY dot_q DESC, vec_id LIMIT 10
         """,
         "simhash_near_pairs": _duck_simhash_pairs(10, "doc_id < 200"),
+        "dedup_clusters": _duck_dedup_clusters(),
         "cosine_topk": _duck_cosine_topk(),
         "lsh_bucketed_topk": _duck_lsh_topk(4, 2),
         "embedding_near_dups": _duck_embedding_near_dups(0.999, 24, 6),
@@ -1114,6 +1148,61 @@ def _duck_simhash_pairs(max_hamming: int, key_filter: str) -> str:
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _duck_dedup_clusters() -> str:
+    """Mirror of _q_dedup_clusters: same chained-twin corpus and pair SQL
+    (exact n-gram Jaccard, so blocking parity is free), then connected
+    components as a recursive CTE (min reachable key per node)."""
+    toks = _duck_spark_tokens("text")
+    keep = "greatest(1, CAST(floor(len(toks)*3/4.0) AS INT))"
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, {toks} AS toks
+          FROM documents WHERE doc_id < 60),
+        t1 AS (
+          SELECT doc_id + 100000 AS doc_id,
+                 toks[1:{keep}] AS toks
+          FROM base),
+        t2 AS (
+          SELECT doc_id + 100000 AS doc_id,
+                 toks[1:{keep}] AS toks
+          FROM t1),
+        corpus AS (
+          SELECT doc_id, toks[1:500] AS toks FROM base
+          UNION ALL SELECT doc_id, toks[1:500] FROM t1
+          UNION ALL SELECT doc_id, toks[1:500] FROM t2),
+        s AS (SELECT doc_id,
+                CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(
+                            generate_series(1, len(toks)-3),
+                            i -> array_to_string(toks[i:i+3], ' ')))
+                END AS sh
+              FROM corpus),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+        ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        common AS (
+          SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT key_a, key_b FROM common
+          JOIN sizes na ON na.doc_id = key_a
+          JOIN sizes nb ON nb.doc_id = key_b
+          WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.6e0),
+        edges AS (
+          SELECT key_a AS a, key_b AS b FROM pairs
+          UNION ALL SELECT key_b, key_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (
+          SELECT node, node AS root FROM nodes
+          UNION
+          SELECT e.b AS node, r.root
+          FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS key, min(root) AS cluster FROM reach GROUP BY node
     """
 
 

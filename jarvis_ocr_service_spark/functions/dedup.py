@@ -329,6 +329,95 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a (near-)duplicate pair set: every key
+    that appears in a pair is labeled with the *minimum* key reachable
+    through the pair graph — the cluster representative. Returns
+    (key, cluster).
+
+    This replaces greedy drop-the-larger-key collapse, which is only exact
+    for pair-shaped clusters: for a chain A-B, B-C (A~B and B~C near-dup
+    but A,C not directly paired) the whole chain must collapse to A.
+
+    Scale shape: the pair table is the *output* of blocked near-dup — tiny
+    relative to the corpus. Iterative min-label propagation; each round is
+    one join (edges x labels) + a min-aggregate, and rounds needed = graph
+    diameter (near-dup clusters are shallow). Hard error if the ``max_iters``
+    safety cap trips — never a silently-wrong labeling.
+
+    Reference parity note: the reference service has no dedup at all; this
+    is part of the training-data layer (SURVEY §2 'beyond the reference').
+    """
+    e = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # Self-loops make one join+min compute min(own label, neighbor labels),
+    # so `labels` appears exactly ONCE per round — without them the
+    # least(label, neighbor_min) form references labels twice per round
+    # and the logical plan doubles each iteration (analyzer OOM by ~12
+    # rounds; each round is persisted+materialized, so lineage growth is
+    # the only thing at stake, and it must stay linear).
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    converged = False
+    for _ in range(max_iters):
+        new_labels = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("label"))
+            .withColumnRenamed("src", "node")
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+        )
+        done = changed.isEmpty()  # also materializes new_labels' persist
+        labels.unpersist()
+        labels = new_labels
+        if done:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iters} rounds — "
+            "pathological pair graph (diameter > cap); raise max_iters"
+        )
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    return attach_cached(
+        labels.select(F.col("node").alias("key"), F.col("label").alias("cluster")),
+        [labels],
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -61,15 +61,25 @@ def prepare_training_data(
     if not near_dup_threshold:
         return exact
 
-    # near-dup collapse: drop the larger key of each verified pair
-    # (transitive chains collapse toward the smallest member; exact for
-    # pair-shaped clusters, greedy for larger ones — standard practice)
+    # near-dup collapse: true connected components over the verified pair
+    # graph (dup_clusters) — every transitive chain collapses to its
+    # smallest member, exact for clusters of any shape (greedy pair-drop
+    # would over-keep on A-B, B-C chains where A,C aren't directly paired)
+    from jarvis_ocr_service_spark.functions.dedup import dup_clusters
+    from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
+
+    # dup_clusters iterates with actions, and the final anti-join reads
+    # `exact` again — persist it so extraction runs once, not per pass
+    exact = exact.persist()
     pairs = minhash_lsh_pairs(
         exact, text_col="text", key_col="url", verify_threshold=near_dup_threshold
     )
-    losers = pairs.select(F.col("key_b").alias("url")).distinct()
-    from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
-
+    clusters = dup_clusters(pairs, key_a="key_a", key_b="key_b")
+    losers = (
+        clusters.filter(F.col("key") != F.col("cluster"))
+        .select(F.col("key").alias("url"))
+    )
     return attach_cached(
-        exact.join(losers, "url", "left_anti"), carried_cached(pairs)
+        exact.join(losers, "url", "left_anti"),
+        [exact] + carried_cached(pairs) + carried_cached(clusters),
     )

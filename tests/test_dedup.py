@@ -253,3 +253,50 @@ def test_minhash_on_real_documents(spark):
     pairs = minhash_lsh_pairs(docs, verify_threshold=0.8).collect()
     for r in pairs:
         assert r.key_a < r.key_b and r.jaccard >= 0.8
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """A-B, B-C, D-E: chain collapses to A transitively, separate pair to D."""
+    from jarvis_ocr_service_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (20, 21), (21, 22), (20, 22)],
+        "key_a long, key_b long",
+    )
+    got = {r.key: r.cluster for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_dup_clusters_long_chain_and_cap(spark):
+    from jarvis_ocr_service_spark.functions.dedup import dup_clusters
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12
+    pairs = spark.createDataFrame(chain, "key_a long, key_b long")
+    got = {r.key: r.cluster for r in dup_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        dup_clusters(pairs, max_iters=2)
+
+
+def test_dup_clusters_on_minhash_chain(spark):
+    """End-to-end: connected components over MinHash-LSH pairs collapse a
+    transitive chain (A~B, B~C, A!~C) to one representative."""
+    from jarvis_ocr_service_spark.functions.dedup import dup_clusters
+
+    words = [f"w{i}" for i in range(120)]
+    a = " ".join(words)          # 118 shingles
+    b = " ".join(words[:90])     # 88 shingles, all in a: J(a,b)=0.75
+    c = " ".join(words[:66])     # 64 shingles: J(b,c)=0.73, J(a,c)=0.54
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    # 8 bands of r=2: J=0.75 collides w.p. ~0.999; the a-c pair may appear
+    # as a candidate but exact verification drops it (0.54 < 0.6)
+    pairs = minhash_lsh_pairs(df, bands=8, verify_threshold=0.6)
+    got = {(r.key_a, r.key_b) for r in pairs.select("key_a", "key_b").collect()}
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got, got
+    clusters = {r.key: r.cluster for r in dup_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1}
