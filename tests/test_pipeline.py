@@ -68,6 +68,27 @@ def test_staged_strategy_equals_fused(spark):
         ), url
 
 
+def test_dedup_extract_strategy_equals_fused(spark):
+    """dedup_extract (one extraction per distinct payload+lang, joined
+    back) must be row-for-row identical to fused — extraction is a pure
+    function. The synth corpus repeats payloads heavily (PNG/empty/short
+    classes), so the distinct side really is smaller."""
+    pages = synthesize_pages(spark, 80, seed=42, num_partitions=4)
+    fused = {r["url"]: r for r in run_pipeline(pages, strategy="fused").collect()}
+    dd = {
+        r["url"]: r
+        for r in run_pipeline(pages, strategy="dedup_extract").collect()
+    }
+    assert set(fused) == set(dd) and len(dd) == 80
+    for url, f in fused.items():
+        d = dd[url]
+        assert (f.text, f.tier, f.is_valid, f.error_code, f.confidence,
+                f.text_len, f.truncated, f.spans) == (
+            d.text, d.tier, d.is_valid, d.error_code, d.confidence,
+            d.text_len, d.truncated, d.spans
+        ), url
+
+
 def test_staged_handles_multiple_snapshots_per_url(spark):
     """A crawl can hold several snapshots of one url (that's why the schema
     carries warc_ts). The staged strategy's cursor joins must key on
