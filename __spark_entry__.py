@@ -502,6 +502,24 @@ def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pixel decode (from-scratch PNG codec): dims/channels/mean
+    intensity per decodable payload on the deterministic page fixture."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.multimodal import with_pixel_stats
+    from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 200)
+    out = with_pixel_stats(pages)
+    return out.filter(F.col("pixel_stats.px_width").isNotNull()).select(
+        "url",
+        F.col("pixel_stats.px_width").alias("px_width"),
+        F.col("pixel_stats.px_height").alias("px_height"),
+        F.col("pixel_stats.channels").alias("channels"),
+        F.col("pixel_stats.mean_intensity").alias("mean_intensity"),
+    )
+
+
 def _q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join strategy demo: fact (orders) x dims (customer, nation) with the
     dims explicitly broadcast — at 10^12 fact rows the dims are the only
@@ -715,6 +733,7 @@ QUERIES = {
     "embedding_near_dups": _q_embedding_near_dups,
     "rolling_hash": _q_rolling_hash,
     "image_meta": _q_image_meta,
+    "pixel_stats": _q_pixel_stats,
     # joins (broadcast strategy)
     "orders_by_nation": _q_orders_by_nation,
     "events_top_users_by_nation": _q_events_top_users_by_nation,
@@ -1084,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _duck_embedding_near_dups(0.999, 24, 6),
         "rolling_hash": _duck_rolling_hash(),
         "image_meta": _duck_image_meta(),
+        "pixel_stats": _duck_pixel_stats(),
     }
 
 
@@ -1219,6 +1239,32 @@ def _duck_rolling_hash() -> str:
             (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)
         END AS rhash
         FROM documents
+    """
+
+
+def _duck_pixel_stats() -> str:
+    """VALUES oracle: expected pixel stats precomputed in pure Python from
+    the deterministic page fixture via the same from-scratch codec the
+    pytest suite pins against hand-filtered reference encodings."""
+    from jarvis_ocr_service_spark.operators.png_codec import png_pixel_stats
+    from jarvis_ocr_service_spark.sources.pages import make_page
+
+    rows = []
+    for i in range(200):
+        p = make_page(i)
+        try:
+            w, h, ch, mean = png_pixel_stats(bytes(p["html"] or b""))
+        except ValueError:
+            continue
+        rows.append(f"('{p['url']}', {w}, {h}, {ch}, {mean!r}::DOUBLE)")
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT url, CAST(px_width AS BIGINT) AS px_width,
+               CAST(px_height AS BIGINT) AS px_height,
+               CAST(channels AS BIGINT) AS channels,
+               mean_intensity
+        FROM (VALUES {values})
+             v(url, px_width, px_height, channels, mean_intensity)
     """
 
 

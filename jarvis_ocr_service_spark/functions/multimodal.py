@@ -94,9 +94,12 @@ def resize_images(
     df: DataFrame, binary_col: str = "html", width: int = 64, height: int = 64,
     fake: bool = False,
 ) -> DataFrame:
-    """Resize stub: schema/batching real, pixel work gated. The fake emits
-    a deterministic byte payload (md5 of input, repeated) with the target
-    dimensions recorded — enough to test partitioning and sinks."""
+    """Resize stage. REAL for PNG payloads: from-scratch decode
+    (operators/png_codec — stdlib zlib + numpy, all five scanline
+    filters), deterministic nearest-neighbor resample, PNG re-encode. For
+    non-PNG payloads (JPEG/GIF need a DCT/LZW decoder): decoded via PIL
+    when importable, else ``resized`` is null (``fake=True`` substitutes
+    the old deterministic fake bytes for plumbing tests)."""
     schema = T.StructType(
         [
             T.StructField("resized", T.BinaryType(), True),
@@ -107,15 +110,39 @@ def resize_images(
     )
     cols = df.columns
 
+    def one(payload, hashlib_mod):
+        from jarvis_ocr_service_spark.operators.png_codec import (
+            decode_png_pixels,
+            encode_png_pixels,
+            resize_nearest,
+        )
+
+        raw = bytes(payload or b"")
+        try:
+            arr = decode_png_pixels(raw)
+            return encode_png_pixels(resize_nearest(arr, width, height))
+        except ValueError:
+            pass
+        if fake:
+            return hashlib_mod.md5(raw).digest() * 4
+        try:  # pragma: no cover — no imaging backend in this sandbox
+            import io
+
+            import PIL.Image
+
+            img = PIL.Image.open(io.BytesIO(raw)).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        except Exception:
+            return None  # undecodable in this environment
+
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        _require_backend(fake)
         for b in batches:
             out = pd.DataFrame(index=b.index)
-            out["resized"] = [
-                hashlib.md5(bytes(p or b"")).digest() * 4 for p in b[binary_col]
-            ]
+            out["resized"] = [one(p, hashlib) for p in b[binary_col]]
             out["out_width"] = width
             out["out_height"] = height
             for c in cols:
@@ -123,6 +150,49 @@ def resize_images(
             yield out
 
     return df.mapInPandas(work, schema=schema)
+
+
+PIXEL_STATS_TYPE = T.StructType(
+    [
+        T.StructField("px_width", T.LongType(), True),
+        T.StructField("px_height", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+    ]
+)
+
+
+def with_pixel_stats(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Append real pixel features (dims, channels, mean intensity) decoded
+    from PNG payloads; null struct fields for non-PNG/undecodable rows.
+    One Arrow stage, passthrough of all other columns."""
+    from jarvis_ocr_service_spark.operators.png_codec import png_pixel_stats
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("pixel_stats", PIXEL_STATS_TYPE)]
+    )
+    cols = df.columns
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b[cols].copy()
+            stats = []
+            for p in b[binary_col]:
+                try:
+                    w, h, ch, mean = png_pixel_stats(bytes(p or b""))
+                    stats.append(
+                        {"px_width": w, "px_height": h, "channels": ch,
+                         "mean_intensity": mean}
+                    )
+                except ValueError:
+                    stats.append(
+                        {"px_width": None, "px_height": None,
+                         "channels": None, "mean_intensity": None}
+                    )
+            out["pixel_stats"] = stats
+            yield out
+
+    return df.mapInPandas(decode, schema=schema)
 
 
 def sample_frames(

@@ -1,4 +1,5 @@
-"""Multimodal plumbing: header decode real, pixel stubs gated."""
+"""Multimodal: header decode real; PNG pixel path REAL (from-scratch
+codec); JPEG/GIF pixel work stays gated."""
 
 import pytest
 
@@ -28,15 +29,68 @@ def test_image_meta_decode(pages):
     assert all(r.image_meta.n_bytes == (len(r.html) if r.html else 0) for r in out)
 
 
-def test_resize_stub_raises_without_backend(pages):
-    with pytest.raises(Exception) as exc:
-        resize_images(pages, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or "backend" in str(exc.value)
+def test_resize_real_for_png_null_for_undecodable(pages):
+    """PNG rows get a REAL nearest-neighbor resize (decode -> resample ->
+    re-encode, all from-scratch); non-PNG rows yield null without a
+    backend — never a task failure."""
+    from jarvis_ocr_service_spark.operators.png_codec import decode_png_pixels
+
+    out = resize_images(pages, width=32, height=32, fake=False).collect()
+    assert len(out) == 50
+    png_rows = [r for r in out if r.html and bytes(r.html).startswith(b"\x89PNG")]
+    assert png_rows
+    for r in png_rows:
+        arr = decode_png_pixels(bytes(r.resized))
+        assert arr.shape == (32, 32, 3)
+        assert (arr == 255).all()  # the 1x1 white fixture upsampled
+    for r in out:
+        if r not in png_rows and not (
+            r.html and bytes(r.html).startswith(b"\x89PNG")
+        ):
+            assert r.resized is None
+
+
+def test_resize_real_gradient_content(spark):
+    """Resize a real multi-pixel image and check actual pixel content."""
+    import numpy as np
+
+    from jarvis_ocr_service_spark.operators.png_codec import (
+        decode_png_pixels,
+        encode_png_pixels,
+    )
+
+    grad = np.stack(
+        [np.tile(np.arange(0, 256, 32, dtype=np.uint8), (8, 1))] * 3, axis=-1
+    )  # 8x8 horizontal gradient
+    df = spark.createDataFrame([(encode_png_pixels(grad),)], "html binary")
+    r = resize_images(df, width=4, height=4).collect()[0]
+    arr = decode_png_pixels(bytes(r.resized))
+    # nearest-neighbor with center mapping picks columns 1,3,5,7
+    assert arr.shape == (4, 4, 3)
+    assert [int(v) for v in arr[0, :, 0]] == [32, 96, 160, 224]
+
+
+def test_pixel_stats_real(pages):
+    from jarvis_ocr_service_spark.functions.multimodal import with_pixel_stats
+
+    out = with_pixel_stats(pages).collect()
+    png = [r for r in out if r.pixel_stats.px_width is not None]
+    assert png  # class-3 rows decoded
+    for r in png:
+        assert (r.pixel_stats.px_width, r.pixel_stats.px_height,
+                r.pixel_stats.channels) == (1, 1, 3)
+        assert r.pixel_stats.mean_intensity == 255.0  # white pixel
+    assert any(r.pixel_stats.px_width is None for r in out)  # non-PNG rows
 
 
 def test_resize_fake_plumbing(pages):
-    out = resize_images(pages.limit(10), width=32, height=32, fake=True).collect()
-    assert len(out) == 10
+    """fake=True keeps the deterministic fake for NON-PNG payloads (PNG
+    rows now take the real path even in fake mode)."""
+    base = pages.filter(
+        "html IS NULL OR substring(hex(html), 1, 8) != '89504E47'"
+    )
+    out = resize_images(base, width=32, height=32, fake=True).collect()
+    assert out
     for r in out:
         assert r.out_width == 32 and r.out_height == 32
         assert len(r.resized) == 64  # md5*4
