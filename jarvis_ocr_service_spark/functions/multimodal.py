@@ -1,17 +1,18 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-Real, tested Spark plumbing (schema, Arrow batch shape, partitioning) for
-image/audio/video columns; pixel/sample decoding beyond header metadata is
-import-gated or stubbed with ``NotImplementedError`` because no imaging/
-audio libraries exist in this environment — the *pipeline shape* is what
-matters and is exercised end-to-end:
+Real, tested Spark stages for image/audio/video columns:
 
-* ``with_image_meta`` — mapInPandas stage decoding PNG IHDR / JPEG / GIF
-  headers from a binary column into a typed struct (fully real, stdlib).
-* ``resize_images`` / ``sample_frames`` / ``extract_audio_features`` —
-  UDF signatures, output schemas and batch handling are real; the inner
-  decode raises ``NotImplementedError`` unless a backend is importable
-  (deterministic fake available for tests via ``fake=True``).
+* ``with_image_meta`` — PNG IHDR / JPEG / GIF header decode into a typed
+  struct (fully real, stdlib).
+* ``resize_images`` — REAL for PNG payloads via the from-scratch codec
+  (operators/png_codec: zlib + numpy, all five scanline filters,
+  deterministic nearest-neighbor resample, PNG re-encode); JPEG/GIF pixel
+  decode stays import-gated (PIL if present, else null output;
+  ``fake=True`` keeps the deterministic plumbing fake for non-PNG).
+* ``with_pixel_stats`` — real pixel features (dims/channels/mean
+  intensity) for PNG payloads, null struct otherwise.
+* ``sample_frames`` — video-sampler stub: the row-expanding UDTF shape is
+  real and tested; frame decode gated (no video libs here).
 """
 
 from __future__ import annotations

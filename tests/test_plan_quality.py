@@ -74,3 +74,58 @@ def test_results_filter_pushdown_on_written_output(spark, pages_path, tmp_path):
     assert "is_valid" in scan.split("PushedFilters")[1]
     read_schema = scan.split("ReadSchema")[1]
     assert "text:" not in read_schema  # projection pruned the big column
+
+
+def test_near_dup_plans_have_no_cartesian_product(spark):
+    """Every near-dup candidate generator must be a blocked equi-join —
+    a CartesianProduct/BroadcastNestedLoop anywhere is a 100-TB killer."""
+    from jarvis_ocr_service_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        embedding_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for df in (
+        minhash_lsh_pairs(docs.filter("doc_id < 50")),
+        ngram_jaccard_pairs(docs.filter("doc_id < 50"), k=4, threshold=0.5),
+        simhash_near_pairs(docs.filter("doc_id < 50"), max_hamming=4),
+        embedding_near_dup_pairs(emb, threshold=0.95),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_embedding_near_dup_quantization_staged_once(spark):
+    """The quantized vector must be staged as a real column — inlining the
+    transform into each of the 24 plane dots would recompute it 24x (the
+    no-CSE trap for interpreted higher-order exprs)."""
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.95))
+    # the quantization transform contains exactly one round(x * 1000) per
+    # staged column occurrence; sides of the self-join + 2 verify reads
+    # -> a handful, NOT ~24 per side
+    n = plan.count("* 1000.0")
+    assert n <= 8, f"quantization inlined {n}x — staging regressed"
+
+
+def test_dedup_extract_join_sheds_payload_bytes(spark, pages_path):
+    """dedup_extract's join-back must shuffle only the digest + result
+    columns — the html payload bytes stay below the distinct."""
+    plan = _plan(
+        run_pipeline(spark.read.parquet(pages_path), strategy="dedup_extract")
+    )
+    assert "CartesianProduct" not in plan
+    # the join output carries no html column
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines
+    assert not any("html" in l for l in join_lines), join_lines
