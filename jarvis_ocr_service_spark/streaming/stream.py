@@ -51,3 +51,44 @@ def run_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup over the pages stream: first snapshot of each
+    distinct payload digest wins; later exact duplicates are dropped
+    *across micro-batches* (Spark keeps the digest-set in checkpointed
+    state; the watermark on warc_ts bounds that state — a duplicate
+    arriving later than the watermark re-emits, the standard bounded-state
+    tradeoff for unbounded streams).
+
+    At 10^12 rows the state is 16 bytes per distinct digest inside the
+    watermark horizon, not per row — the streaming twin of dedup_exact's
+    one-shuffle batch shape.
+    """
+    from pyspark.sql import functions as F
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
+    deduped = (
+        pages.withColumn(
+            "_digest", F.md5(F.coalesce(F.col("html"), F.lit(b"")))
+        )
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

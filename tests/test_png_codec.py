@@ -105,3 +105,23 @@ def test_unsupported_layouts_rejected():
         decode_png_pixels(hdr16)
     with pytest.raises(ValueError):
         encode_png_pixels(np.zeros((2, 2, 5), dtype=np.uint8))
+
+
+def test_roundtrip_property_random_arrays():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def inner(h, w, ch, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, ch), dtype=np.uint8
+        )
+        assert (decode_png_pixels(encode_png_pixels(arr)) == arr).all()
+
+    inner()
