@@ -105,21 +105,6 @@ def minhash_signature(col, num_hashes: int = 16, k: int = 3):
     return F.array(*[one_hash(seed) for seed in range(num_hashes)])
 
 
-def minhash_signature_fast(col, num_hashes: int = 16, k: int = 3):
-    """Integer MinHash: one xxhash64 per shingle, then per-seed integer
-    re-hashes — no hex-string churn. ~5x faster than the md5 family; used
-    by the LSH pair generator (the md5 family stays for SQL-oracle checks).
-    """
-    sh = word_shingles(col, k)
-    h = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def seeded(i: int):
-        lit_i = F.lit(i)  # unary lambda: a 2nd param would mean "index"
-        return F.array_min(F.transform(h, lambda x: F.xxhash64(x, lit_i)))
-
-    return F.array(*[seeded(i) for i in range(num_hashes)])
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
