@@ -457,18 +457,21 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, banded-LSH blocked (24 quantized
-    sign bits, 6 bands of 4). Self-test corpus: each vector unioned with an
-    exact twin (vec_id+100000) — every twin pair must be found (identical
-    quantized vectors agree on every band). Oracle replicates the banding
-    exactly (all bits are integer-determined)."""
+    """Embedding-cosine near-dup pairs, banded-LSH blocked (48 quantized
+    sign bits, 6 bands of 8 — band width sized to the ~1000-vector corpus
+    so random band collisions stay rare). Self-test corpus: each vector
+    unioned with an exact twin (vec_id+100000) — every twin pair must be
+    found (identical quantized vectors agree on every band). Oracle
+    replicates the banding exactly (all bits are integer-determined)."""
     from jarvis_ocr_service_spark.functions.simsearch import embedding_near_dup_pairs
 
     emb = _tbl(spark, sf_dir, "embeddings")
     shifted = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
-    return embedding_near_dup_pairs(emb.unionByName(shifted), threshold=0.999)
+    return embedding_near_dup_pairs(
+        emb.unionByName(shifted), threshold=0.999, n_planes=48, bands=6
+    )
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,7 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _duck_dedup_clusters(),
         "cosine_topk": _duck_cosine_topk(),
         "lsh_bucketed_topk": _duck_lsh_topk(4, 2),
-        "embedding_near_dups": _duck_embedding_near_dups(0.999, 24, 6),
+        "embedding_near_dups": _duck_embedding_near_dups(0.999, 48, 6),
         "rolling_hash": _duck_rolling_hash(),
         "image_meta": _duck_image_meta(),
         "pixel_stats": _duck_pixel_stats(),
