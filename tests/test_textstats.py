@@ -131,3 +131,41 @@ def test_text_stats_on_documents(spark):
         assert r.n_tokens > 0 and r.n_bytes > 0
         assert 0.0 <= r.quality <= 1.0
         assert len(r.fingerprint) == 32
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    share >=1 fingerprint; disjoint-alphabet docs share none."""
+    from jarvis_ocr_service_spark.functions.textstats import (
+        with_winnow_fingerprints,
+    )
+
+    shared = "the stolen paragraph travels between documents intact"
+    a = "aaa bbb ccc " + shared + " ddd eee fff"
+    b = "111 222 333 444 " + shared + " 555 666"
+    c = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp oooo"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, ""), (4, "tiny")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: set(r.winnow_fp)
+           for r in with_winnow_fingerprints(df, k=8, w=8).collect()}
+    assert got[0] & got[1], "shared substring must share a fingerprint"
+    assert not (got[0] & got[2]) and not (got[1] & got[2])
+    assert len(got[3]) == 1 and len(got[4]) == 1  # degenerate cases defined
+
+
+def test_winnow_fingerprints_substring_invariance(spark):
+    """A doc and a long copy of its middle share most fingerprints."""
+    from jarvis_ocr_service_spark.functions.textstats import (
+        with_winnow_fingerprints,
+    )
+
+    base = " ".join(f"word{i}" for i in range(120))
+    middle = " ".join(f"word{i}" for i in range(30, 90))
+    df = spark.createDataFrame([(0, base), (1, middle)],
+                               "doc_id long, text string")
+    got = {r.doc_id: set(r.winnow_fp)
+           for r in with_winnow_fingerprints(df).collect()}
+    overlap = len(got[0] & got[1]) / len(got[1])
+    assert overlap >= 0.8, overlap
