@@ -505,6 +505,56 @@ def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wav_params(i: int):
+    """Deterministic per-doc WAV parameters (pure function of doc_id)."""
+    return (
+        110.0 * (1 + i % 8),          # freq
+        500 + (i % 7) * 250,          # n_samples
+        8000 if i % 2 == 0 else 16000,  # sample rate
+        0.1 + (i % 5) * 0.2,          # amplitude
+    )
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode (stdlib wave) over deterministic synthesized audio
+    payloads: header metadata + RMS per row."""
+    _ensure_dist(spark)
+    from pyspark.sql import types as T
+
+    from jarvis_ocr_service_spark.functions.multimodal import (
+        make_test_wav,
+        with_audio_features,
+    )
+
+    import pandas as pd
+
+    def gen(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "html": [make_test_wav(*_wav_params(int(i))) for i in ids],
+                }
+            )
+
+    wavs = spark.range(0, 50, numPartitions=4).mapInPandas(
+        gen, schema="doc_id long, html binary"
+    )
+    out = with_audio_features(wavs)
+    return out.select(
+        "doc_id",
+        F.col("audio_features.sample_rate").alias("sample_rate"),
+        F.col("audio_features.channels").alias("channels"),
+        F.col("audio_features.bits").alias("bits"),
+        F.col("audio_features.n_frames").alias("n_frames"),
+        F.col("audio_features.duration_s").alias("duration_s"),
+        F.col("audio_features.rms").alias("rms"),
+    )
+
+
 def _q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints, exploded to (doc_id, fp) rows."""
     from jarvis_ocr_service_spark.functions.textstats import (
@@ -749,6 +799,7 @@ QUERIES = {
     "image_meta": _q_image_meta,
     "pixel_stats": _q_pixel_stats,
     "winnow_fp": _q_winnow_fp,
+    "audio_features": _q_audio_features,
     # joins (broadcast strategy)
     "orders_by_nation": _q_orders_by_nation,
     "events_top_users_by_nation": _q_events_top_users_by_nation,
@@ -1120,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": _duck_image_meta(),
         "pixel_stats": _duck_pixel_stats(),
         "winnow_fp": _duck_winnow_fp(),
+        "audio_features": _duck_audio_features(),
     }
 
 
@@ -1184,6 +1236,39 @@ def _duck_simhash_pairs(max_hamming: int, key_filter: str) -> str:
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _duck_audio_features() -> str:
+    """VALUES oracle: expected audio features precomputed in pure Python
+    from the same deterministic WAV fixture (repr round-trips doubles
+    exactly)."""
+    from jarvis_ocr_service_spark.functions.multimodal import (
+        decode_wav_features,
+        make_test_wav,
+    )
+
+    rows = []
+    for i in range(50):
+        f = decode_wav_features(make_test_wav(*_wav_params(i)))
+        # NB: CAST('<repr>' AS DOUBLE): a bare decimal literal would be
+        # parsed as DECIMAL(18) first and lose ULPs; string->double parses
+        # to the exact nearest double (repr round-trips)
+        rows.append(
+            f"({i}, {f['sample_rate']}, {f['channels']}, {f['bits']}, "
+            f"{f['n_frames']}, CAST('{f['duration_s']!r}' AS DOUBLE), "
+            f"CAST('{f['rms']!r}' AS DOUBLE))"
+        )
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(sample_rate AS BIGINT) AS sample_rate,
+               CAST(channels AS BIGINT) AS channels,
+               CAST(bits AS BIGINT) AS bits,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               duration_s, rms
+        FROM (VALUES {values})
+             v(doc_id, sample_rate, channels, bits, n_frames, duration_s, rms)
     """
 
 
@@ -1296,7 +1381,11 @@ def _duck_pixel_stats() -> str:
             w, h, ch, mean = png_pixel_stats(bytes(p["html"] or b""))
         except ValueError:
             continue
-        rows.append(f"('{p['url']}', {w}, {h}, {ch}, {mean!r}::DOUBLE)")
+        # string->double cast: a bare decimal literal parses as DECIMAL(18)
+        # first and can lose ULPs on 17-digit means
+        rows.append(
+            f"('{p['url']}', {w}, {h}, {ch}, CAST('{mean!r}' AS DOUBLE))"
+        )
     values = ",\n               ".join(rows)
     return f"""
         SELECT url, CAST(px_width AS BIGINT) AS px_width,

@@ -230,3 +230,105 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(work, schema=schema)
+
+
+AUDIO_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("bits", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def make_test_wav(
+    freq_hz: float, n_samples: int, sample_rate: int = 8000,
+    amplitude: float = 0.5,
+) -> bytes:
+    """Deterministic 16-bit mono PCM WAV (pure function — fixture-grade)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        frames = b"".join(
+            struct.pack(
+                "<h",
+                int(32767 * amplitude * math.sin(2 * math.pi * freq_hz * i / sample_rate)),
+            )
+            for i in range(n_samples)
+        )
+        wv.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_wav_features(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAV payloads (stdlib ``wave``): header
+    metadata + RMS amplitude over the PCM samples (16-bit PCM; other
+    widths yield header fields with null rms). Raises ValueError for
+    non-WAV payloads."""
+    import io
+    import math
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(payload or b"")), "rb") as wv:
+            rate = wv.getframerate()
+            ch = wv.getnchannels()
+            width = wv.getsampwidth()
+            n = wv.getnframes()
+            rms = None
+            if width == 2 and n:
+                raw = wv.readframes(n)
+                samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+                # exact integer sum of squares, then pinned double math
+                rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"not a decodable WAV payload: {e}") from e
+    return {
+        "sample_rate": rate,
+        "channels": ch,
+        "bits": 8 * width,
+        "n_frames": n,
+        "duration_s": n / rate if rate else None,
+        "rms": rms,
+    }
+
+
+def with_audio_features(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Append real audio features decoded from WAV payloads (stdlib wave —
+    no external audio libs needed); null struct fields for non-WAV rows.
+    One Arrow stage, passthrough of all other columns. Compressed formats
+    (mp3/ogg) would need a codec backend — not present here, rows yield
+    nulls rather than task failures."""
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("audio_features", AUDIO_FEATURES_TYPE)]
+    )
+    cols = df.columns
+    null_row = {
+        "sample_rate": None, "channels": None, "bits": None,
+        "n_frames": None, "duration_s": None, "rms": None,
+    }
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b[cols].copy()
+            feats = []
+            for p in b[binary_col]:
+                try:
+                    feats.append(decode_wav_features(p))
+                except ValueError:
+                    feats.append(dict(null_row))
+            out["audio_features"] = feats
+            yield out
+
+    return df.mapInPandas(decode, schema=schema)

@@ -103,3 +103,30 @@ def test_sample_frames_fake_expands_rows(pages):
     assert len(out) >= 10  # row-expanding
     for r in out:
         assert r.frame_idx >= 0 and len(r.frame) == 16
+
+
+def test_audio_features_real_wav_decode(spark):
+    """Real WAV decode (stdlib wave): header metadata + RMS; non-audio
+    payloads yield a null struct, never a task failure."""
+    from jarvis_ocr_service_spark.functions.multimodal import (
+        decode_wav_features,
+        make_test_wav,
+        with_audio_features,
+    )
+
+    w1 = make_test_wav(440.0, 8000)                 # 1s A4 tone
+    w2 = make_test_wav(220.0, 4000, amplitude=0.1)  # 0.5s quiet tone
+    df = spark.createDataFrame(
+        [(0, bytearray(w1)), (1, bytearray(w2)), (2, b"<html>nope</html>"),
+         (3, None)],
+        "i long, html binary",
+    )
+    got = {r.i: r.audio_features for r in with_audio_features(df).collect()}
+    assert (got[0].sample_rate, got[0].channels, got[0].bits,
+            got[0].n_frames, got[0].duration_s) == (8000, 1, 16, 8000, 1.0)
+    assert got[1].duration_s == 0.5
+    assert got[0].rms > got[1].rms > 0  # louder tone has higher RMS
+    assert got[2].sample_rate is None and got[3].sample_rate is None
+    # Spark-side values match the scalar decode exactly
+    exp = decode_wav_features(w1)
+    assert got[0].rms == exp["rms"]
