@@ -469,8 +469,13 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
+    # params stay explicit here because the DuckDB oracle is a static SQL
+    # string that must bake in the same plane set at any sf; the auto-sizing
+    # path (auto_lsh_params, no hand-tuning) is pinned at two corpus sizes
+    # by tests/test_simsearch.py. dim=64 skips the 1-row probe job.
     return embedding_near_dup_pairs(
-        emb.unionByName(shifted), threshold=0.999, n_planes=48, bands=6
+        emb.unionByName(shifted), threshold=0.999, n_planes=48, bands=6,
+        dim=_EMB_DIM,
     )
 
 
@@ -581,6 +586,69 @@ def _q_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pixel_stats.px_height").alias("px_height"),
         F.col("pixel_stats.channels").alias("channels"),
         F.col("pixel_stats.mean_intensity").alias("mean_intensity"),
+    )
+
+
+_TRUNC_PAGES_N = 300  # classes 6 (oversize) + 7 (multibyte) -> 30 rows each
+
+
+def _q_truncate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: UTF-8-byte-safe truncation over the oversize (class 6) and
+    multibyte-boundary (class 7) page classes — the full cascade runs and
+    the truncated text is pinned byte-for-byte via md5. Reference
+    semantics: app/text_utils.py:43-76 (truncate never splits a UTF-8
+    sequence; class 7's cut lands mid-2-byte-char and backs off to 51,199
+    of MAX_TEXT_BYTES=51,200)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
+    from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _TRUNC_PAGES_N).filter(
+        F.col("url").rlike("/doc/[67]/")
+    )
+    res = run_pipeline(pages)
+    return res.select(
+        "url",
+        F.col("truncated"),
+        F.col("text_len"),
+        F.col("is_valid"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    )
+
+
+_PDF_PAGES_N = 300  # class 2 -> 30 PDF rows
+
+
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: the PDF *parse* branch (pdf_mode='parse') over the class-2 page
+    fixture — from-scratch FlateDecode + BT/ET text-object parse
+    (operators/extract_pdf.py), exact extracted bytes and line-span
+    conventions pinned. Reference decision: prds/queue-flow.md:510-515
+    (v2 parses PDFs instead of rejecting)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
+    from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _PDF_PAGES_N).filter(
+        F.col("url").rlike("/doc/2/")
+    )
+    res = run_pipeline(pages)  # pdf_mode defaults to PDF_MODE_PARSE
+    return res.select(
+        "url",
+        F.col("text").alias("pdf_text"),
+        F.col("tier"),
+        F.col("is_valid"),
+        F.col("truncated"),
+        F.col("text_len"),
+        F.array_join(
+            F.transform(
+                "spans",
+                lambda s: F.format_string(
+                    "%d:%d:%s", s["start"], s["end"], s["tag"]
+                ),
+            ),
+            "|",
+        ).alias("spans_str"),
     )
 
 
@@ -781,6 +849,8 @@ QUERIES = {
     "host_counts": _q_host_counts,
     "refs_validation": _q_refs_validation,
     "tier_first_valid": _q_tier_first_valid,
+    "truncate_flags": _q_truncate_flags,
+    "pdf_extract": _q_pdf_extract,
     # training-data ops
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
@@ -1168,6 +1238,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucketed_topk": _duck_lsh_topk(4, 2),
         "embedding_near_dups": _duck_embedding_near_dups(0.999, 48, 6),
         "rolling_hash": _duck_rolling_hash(),
+        "truncate_flags": _duck_truncate_flags(),
+        "pdf_extract": _duck_pdf_extract(),
         "image_meta": _duck_image_meta(),
         "pixel_stats": _duck_pixel_stats(),
         "winnow_fp": _duck_winnow_fp(),
@@ -1242,7 +1314,13 @@ def _duck_simhash_pairs(max_hamming: int, key_filter: str) -> str:
 def _duck_audio_features() -> str:
     """VALUES oracle: expected audio features precomputed in pure Python
     from the same deterministic WAV fixture (repr round-trips doubles
-    exactly)."""
+    exactly).
+
+    Independence scope (honest): the expected values come from the same
+    decode_wav_features the Spark UDF calls, so this row proves the
+    distributed path (Arrow batching, null handling, schema) reproduces
+    the pure decoder exactly — decode *correctness* is pinned separately
+    by tests/test_multimodal.py against stdlib-wave ground truth."""
     from jarvis_ocr_service_spark.functions.multimodal import (
         decode_wav_features,
         make_test_wav,
@@ -1370,7 +1448,12 @@ def _duck_rolling_hash() -> str:
 def _duck_pixel_stats() -> str:
     """VALUES oracle: expected pixel stats precomputed in pure Python from
     the deterministic page fixture via the same from-scratch codec the
-    pytest suite pins against hand-filtered reference encodings."""
+    pytest suite pins against hand-filtered reference encodings.
+
+    Independence scope (honest): same pattern as _duck_audio_features —
+    this row proves the distributed path matches the pure codec; codec
+    *correctness* is pinned independently by tests/test_png_codec.py
+    (hand-filtered reference encodings, all 5 scanline filters)."""
     from jarvis_ocr_service_spark.operators.png_codec import png_pixel_stats
     from jarvis_ocr_service_spark.sources.pages import make_page
 
@@ -1397,10 +1480,79 @@ def _duck_pixel_stats() -> str:
     """
 
 
+def _duck_truncate_flags() -> str:
+    """VALUES oracle for UTF-8-safe truncation: expected rows precomputed
+    with the shared pure-Python cascade (sources/pages.expected_result).
+
+    Independence note (honest scope): DuckDB cannot truncate UTF-8-byte-
+    safely, so — like image_meta/pixel_stats — the expected VALUES come
+    from the same shared pure-Python semantics the Spark UDFs call; the
+    driver check therefore proves the *distributed execution path*
+    (Arrow batching, partitioning, cascade fusion) reproduces the pure
+    oracle byte-for-byte, while the truncation semantics themselves are
+    pinned independently by hand-written unit + hypothesis tests
+    (tests/test_textops.py) and the golden file."""
+    import hashlib
+
+    from jarvis_ocr_service_spark.sources.pages import expected_result
+
+    rows = []
+    for i in range(_TRUNC_PAGES_N):
+        if i % 10 not in (6, 7):
+            continue
+        r = expected_result(i)
+        md5 = hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+        rows.append(
+            f"('{r['url']}', {str(bool(r['truncated'])).upper()}, "
+            f"{r['text_len']}, {str(bool(r['is_valid'])).upper()}, '{md5}')"
+        )
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT url, truncated, CAST(text_len AS BIGINT) AS text_len,
+               is_valid, text_md5
+        FROM (VALUES {values})
+             v(url, truncated, text_len, is_valid, text_md5)
+    """
+
+
+def _duck_pdf_extract() -> str:
+    """VALUES oracle for the PDF parse branch: expected rows precomputed
+    with the shared pure-Python cascade in pdf_mode='parse'. Same
+    independence scope as _duck_truncate_flags — the PDF parser itself is
+    pinned by tests/test_extract_pdf.py goldens; this row proves the
+    distributed branch dispatch + extraction reproduces it exactly."""
+    from jarvis_ocr_service_spark.sources.pages import expected_result
+
+    rows = []
+    for i in range(_PDF_PAGES_N):
+        if i % 10 != 2:
+            continue
+        r = expected_result(i, pdf_mode="parse")
+        text_sql = r["text"].replace("'", "''").replace("\n", "' || chr(10) || '")
+        spans_str = "|".join(f"{s}:{e}:{t}" for s, e, t in r["spans"])
+        rows.append(
+            f"('{r['url']}', '{text_sql}', '{r['tier']}', "
+            f"{str(bool(r['is_valid'])).upper()}, "
+            f"{str(bool(r['truncated'])).upper()}, {r['text_len']}, "
+            f"'{spans_str}')"
+        )
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT url, pdf_text, tier, is_valid, truncated,
+               CAST(text_len AS BIGINT) AS text_len, spans_str
+        FROM (VALUES {values})
+             v(url, pdf_text, tier, is_valid, truncated, text_len, spans_str)
+    """
+
+
 def _duck_image_meta() -> str:
     """VALUES oracle: expected header-decode rows precomputed in pure
     Python from the deterministic page fixture (sources/pages.make_page is
-    a pure function of (i, seed) — same rows on any machine)."""
+    a pure function of (i, seed) — same rows on any machine).
+
+    Independence scope (honest): same pattern as _duck_audio_features —
+    proves the distributed path matches the pure header parser; parse
+    correctness is pinned independently in tests/test_multimodal.py."""
     from jarvis_ocr_service_spark.functions.multimodal import _meta_of
     from jarvis_ocr_service_spark.sources.pages import make_page
 

@@ -234,10 +234,17 @@ def ngram_prefix_candidates(
         .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("sg"))
         .withColumn("n", F.size("sg"))
         .withColumn(
+            # prefix length n - ceil(t*n) + 1; the tiny epsilon inside the
+            # ceil guards double rounding (t*n landing just ABOVE the exact
+            # integer product would shorten the prefix and silently lose
+            # recall in a filter documented as exact — a too-long prefix
+            # only yields a candidate superset, never lost pairs)
             "L",
-            (F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast(
-                "int"
-            ),
+            (
+                F.col("n")
+                - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+                + 1
+            ).cast("int"),
         )
         .select("k", F.explode(F.slice(F.col("sg"), F.lit(1), F.col("L"))).alias("pg"))
         .select("k", F.col("pg.g").alias("g"))
@@ -381,7 +388,12 @@ def dup_clusters(
             )
             .filter(F.col("label") != F.col("old"))
         )
-        done = changed.isEmpty()  # also materializes new_labels' persist
+        # count() (not isEmpty) fully materializes every partition of the
+        # join and therefore of new_labels' persist BEFORE the old cache is
+        # dropped — isEmpty is take(1)-style and would leave uncached
+        # partitions recomputing through the whole prior-round lineage
+        # after the unpersist (quadratic per-round work on deep clusters).
+        done = changed.count() == 0
         labels.unpersist()
         labels = new_labels
         if done:

@@ -213,21 +213,33 @@ def sample_frames(
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         _require_backend(fake)
         for b in batches:
-            rows = []
-            for _, r in b.iterrows():
-                payload = bytes(r[binary_col] or b"")
-                n_frames = max(1, len(payload) // max(every_n, 1) % 4 + 1)
-                for k in range(n_frames):
-                    rows.append(
-                        {
-                            "frame_idx": k,
-                            "frame": hashlib.md5(payload + bytes([k])).digest(),
-                            **{c: r[c] for c in cols},
-                        }
-                    )
-            yield pd.DataFrame(rows)
+            # Vectorized row expansion (no iterrows — the template must be
+            # scale-correct for when a real video backend lands): compute
+            # per-row frame counts, then np.repeat the batch index.
+            payloads = [bytes(p or b"") for p in b[binary_col]]
+            n_frames = np.array(
+                [max(1, len(p) // max(every_n, 1) % 4 + 1) for p in payloads],
+                dtype=np.int64,
+            )
+            src = np.repeat(np.arange(len(b)), n_frames)
+            frame_idx = np.concatenate(
+                [np.arange(k) for k in n_frames]
+            ) if len(b) else np.array([], dtype=np.int64)
+            out = b.iloc[src].reset_index(drop=True)[cols]
+            out.insert(0, "frame_idx", frame_idx)
+            out.insert(
+                1,
+                "frame",
+                [
+                    hashlib.md5(payloads[int(s)] + bytes([int(k)])).digest()
+                    for s, k in zip(src, frame_idx)
+                ],
+            )
+            yield out
 
     return df.mapInPandas(work, schema=schema)
 
@@ -280,6 +292,8 @@ def decode_wav_features(payload: bytes) -> dict:
     import struct
     import wave
 
+    import numpy as np
+
     try:
         with wave.open(io.BytesIO(bytes(payload or b"")), "rb") as wv:
             rate = wv.getframerate()
@@ -289,9 +303,13 @@ def decode_wav_features(payload: bytes) -> dict:
             rms = None
             if width == 2 and n:
                 raw = wv.readframes(n)
-                samples = struct.unpack(f"<{len(raw) // 2}h", raw)
-                # exact integer sum of squares, then pinned double math
-                rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+                samples = np.frombuffer(
+                    raw, dtype="<i2", count=len(raw) // 2
+                ).astype(np.int64)
+                # exact integer sum of squares (int64 dot: max 2^30 per
+                # sample x ~2^33 samples stays under 2^63), then the same
+                # pinned double expression as before — bit-identical rms
+                rms = math.sqrt(int(samples @ samples) / len(samples))
     except (wave.Error, EOFError, struct.error) as e:
         raise ValueError(f"not a decodable WAV payload: {e}") from e
     return {

@@ -409,16 +409,48 @@ def ivf_topk(
     )
 
 
+def auto_lsh_params(
+    threshold: float,
+    n_est: int,
+    target_recall: float = 0.99,
+    max_bands: int = 16,
+) -> tuple:
+    """Size (n_planes, bands) for banded sign-bit LSH from the corpus size.
+
+    r (bits per band) targets ~1 expected doc per band-bucket
+    (r = log2(n_est), clamped to [4, 16] — beyond ~10^5-row band keys,
+    rely on ``max_bucket`` capping instead of ever-longer keys); bands
+    are then chosen so recall for a pair at exactly ``threshold`` is
+    >= ``target_recall``: per-plane agreement p = 1 - acos(t)/pi, recall
+    = 1-(1-p^r)^bands. Pure function — callers (and SQL oracles) can
+    compute identical parameters on both sides.
+    """
+    import math
+
+    t = min(max(float(threshold), -1.0), 1.0)
+    p = 1.0 - math.acos(t) / math.pi
+    r = min(16, max(4, math.ceil(math.log2(max(int(n_est), 2)))))
+    pr = p**r
+    if pr >= 1.0:
+        bands = 1
+    else:
+        bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr)))
+    bands = min(max_bands, bands)
+    return r * bands, bands
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 24,
-    bands: int = 6,
+    n_planes: Optional[int] = None,
+    bands: Optional[int] = None,
     seed: int = 42,
     scale: int = 1000,
     max_bucket: int = 0,
+    dim: Optional[int] = None,
+    n_est: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, *banded* LSH-blocked.
 
@@ -440,12 +472,24 @@ def embedding_near_dup_pairs(
       and verification uses the deterministic quantized cosine — the whole
       operator is SQL-oracle-checkable.
 
+    ``n_planes``/``bands`` default to :func:`auto_lsh_params` sized from
+    ``n_est`` (or a count job when absent) — callers no longer hand-tune
+    per corpus. ``dim`` skips the 1-row probe job when the caller knows
+    the embedding width (any fixed-dim production table does).
+
     Returns (key_a, key_b, cos_sim), key_a < key_b, cos_sim >= threshold.
     """
+    if (n_planes is None) != (bands is None):
+        raise ValueError("pass both n_planes and bands, or neither (auto)")
+    if n_planes is None:
+        if n_est is None:
+            n_est = df.count()
+        n_planes, bands = auto_lsh_params(threshold, n_est)
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
     r = n_planes // bands
-    dim = len(df.select(vec_col).first()[0])  # 1-row driver probe
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])  # 1-row driver probe
     planes_q = _hyperplanes_quantized(dim, n_planes, seed)
     staged = df.select(
         F.col(id_col).alias("k"), quantized_vec(F.col(vec_col), scale).alias("vq")

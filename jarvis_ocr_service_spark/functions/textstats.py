@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -149,50 +150,84 @@ def with_winnow_fingerprints(
     fingerprint — substring-level copy detection, where md5-of-whole-text
     only catches full-document dups.
 
-    Implementation: Arrow-batched numpy (md5 per k-gram, then a
-    sliding_window_view minimum). A pure-Column form exists on paper
-    (transform + slice + array_min) but interpreted higher-order lambdas
-    cost ~0.4 ms *per window element* — measured 218s vs ~2s for 500 docs
-    x ~1000 grams — so this is one of the places where a vectorized UDF
-    beats "JVM-side". Hashes are md5 hex over the UTF-8 bytes (min by
-    string order — portable; the DuckDB oracle mirrors it exactly).
-    Fingerprints are sorted + distinct (deterministic array order); cost
-    is bounded by ``max_chars`` like the validator.
+    Implementation: Arrow-batched numpy. Per batch, every k-gram of every
+    document is collected once, deduplicated with an insertion-order dict
+    (crawl corpora repeat substrings heavily, so the md5 cost is paid per
+    *distinct* gram, not per occurrence), the distinct grams are md5'd
+    and ranked by digest order, and each document's window minima come
+    from a fully vectorized ``sliding_window_view(...).min(axis=1)`` over
+    its integer rank sequence — integer rank order == digest order == hex
+    string order, so the minima are exactly the lexicographic-min hex
+    hashes. A pure-Column form exists on paper (transform + slice +
+    array_min) but interpreted higher-order lambdas cost ~0.4 ms *per
+    window element* — measured 218s vs ~2s for 500 docs x ~1000 grams —
+    so this is one of the places where a vectorized UDF beats "JVM-side".
+    Hashes are md5 hex over the UTF-8 bytes (min by string order —
+    portable; the DuckDB oracle mirrors it exactly). Fingerprints are
+    sorted + distinct (deterministic array order); cost is bounded by
+    ``max_chars`` like the validator.
     """
     import hashlib
-    from collections import deque
+
+    import numpy as np
 
     from pyspark.sql import types as T
 
-    def one(text: str):
-        t = (text or "")[:max_chars]
-        n = len(t)
-        if n < k:
-            return [hashlib.md5(t.encode()).hexdigest()]
-        grams = [
-            hashlib.md5(t[i : i + k].encode()).hexdigest()
-            for i in range(n - k + 1)
-        ]
-        if len(grams) - w + 1 < 1:
-            return [min(grams)]
-        # O(n) sliding minimum (monotonic deque) over the full hex strings
-        # — exact lexicographic minima, same comparisons as the oracle
-        dq: deque = deque()
-        mins = []
-        for i, g in enumerate(grams):
-            while dq and grams[dq[-1]] >= g:
-                dq.pop()
-            dq.append(i)
-            if dq[0] <= i - w:
-                dq.popleft()
-            if i >= w - 1:
-                mins.append(grams[dq[0]])
-        return sorted(set(mins))
+    def batch(s: pd.Series) -> pd.Series:
+        texts = [(t or "")[:max_chars] for t in s]
+        # Collect every k-gram (and each too-short text, hashed whole —
+        # same fallback as the reference scalar form) into one array.
+        doc_grams: list = []
+        for t in texts:
+            n = len(t)
+            if n < k:
+                doc_grams.append([t])
+            else:
+                doc_grams.append([t[i : i + k] for i in range(n - k + 1)])
+        flat = [g for grams in doc_grams for g in grams]
+        if not flat:
+            return pd.Series([[] for _ in texts])
+        # Dict-based dedup (insertion-order ids) — crawl corpora repeat
+        # substrings heavily (measured 14x on the test corpus), so md5 is
+        # paid per distinct gram. A dict beats np.unique here: object-
+        # string sorting costs more than the hashing it saves.
+        index: dict = {}
+        inverse = np.fromiter(
+            (index.setdefault(g, len(index)) for g in flat),
+            dtype=np.int64,
+            count=len(flat),
+        )
+        uniq = list(index)
+        dig_list = [hashlib.md5(g.encode()).digest() for g in uniq]
+        # rank[i] = position of uniq[i]'s digest in digest sort order, so
+        # comparing ranks == comparing digests == comparing hex strings.
+        # (Two big-endian uint64 halves lexsorted == 16-byte memcmp order;
+        # NOT numpy "S16", whose retrieval strips trailing NUL bytes.)
+        keys = np.frombuffer(b"".join(dig_list), dtype=">u8").reshape(-1, 2)
+        order = np.lexsort((keys[:, 1], keys[:, 0]))
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[order] = np.arange(len(uniq))
+        hex_by_rank = [dig_list[int(j)].hex() for j in order]
+
+        out = []
+        pos = 0
+        for grams in doc_grams:
+            m = len(grams)
+            r = rank[inverse[pos : pos + m]]
+            pos += m
+            if m - w + 1 < 1:
+                out.append([hex_by_rank[int(r.min())]])
+                continue
+            mins = np.unique(
+                np.lib.stride_tricks.sliding_window_view(r, w).min(axis=1)
+            )
+            out.append([hex_by_rank[int(j)] for j in mins])
+        return pd.Series(out)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def winnow(series: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in series:
-            yield s.map(one)
+            yield batch(s)
 
     return df.withColumn(out_col, winnow(F.col(text_col)))
 
@@ -200,21 +235,78 @@ def with_winnow_fingerprints(
 _MOD = (1 << 61) - 1
 _BASE = 257
 
+# Growing cache of BASE^k mod MOD (uint64). Extended on demand; pandas-UDF
+# workers are single-threaded per process so no locking is needed.
+_POW_CACHE = np.array([1], dtype=np.uint64)
+
+
+def _powers(n: int) -> np.ndarray:
+    """First ``n`` powers of _BASE mod _MOD as uint64 (index k = BASE^k)."""
+    global _POW_CACHE
+    if len(_POW_CACHE) < n:
+        ext = [int(_POW_CACHE[-1])]
+        while len(_POW_CACHE) + len(ext) - 1 < n:
+            ext.append(ext[-1] * _BASE % _MOD)
+        _POW_CACHE = np.concatenate(
+            [_POW_CACHE, np.array(ext[1:], dtype=np.uint64)]
+        )
+    return _POW_CACHE
+
+
+_M_U = np.uint64(_MOD)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Reduce x (< 2^64) mod the Mersenne prime 2^61-1, exactly."""
+    x = (x & _M_U) + (x >> np.uint64(61))  # < 2^61 + 8
+    return np.where(x >= _M_U, x - _M_U, x)
+
+
+def _rolling_hash_one_numpy(t: str) -> int:
+    """Exact numpy form of the Horner loop: h = sum(cp[i] * B^(n-1-i)) mod M.
+
+    Per-character term cp*p is an 82-bit product, done with a 31-bit split
+    of the power (cp < 2^21): cp*p = cp*p_hi*2^31 + cp*p_lo, and
+    y*2^31 mod M = ((y<<31) & M) + (y>>30) because 2^61 = 1 (mod M) — the
+    uint64 left-shift's lost high bits are exactly the (y>>30) term.
+    Term sums are folded every 8 elements (8*(2^61-1) < 2^64, no overflow).
+    """
+    n = len(t)
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    p = _powers(n)[n - 1 :: -1]  # B^(n-1) ... B^0, aligned with cp
+    p_hi = p >> np.uint64(31)  # < 2^30
+    p_lo = p & np.uint64(0x7FFFFFFF)  # < 2^31
+    y = cp * p_hi  # < 2^51
+    term = ((y << np.uint64(31)) & _M_U) + (y >> np.uint64(30)) + cp * p_lo
+    s = _fold61(term)  # exact per-char terms, < 2^61 - 1
+    while s.size > 1:
+        pad = (-s.size) % 8
+        if pad:
+            s = np.concatenate([s, np.zeros(pad, dtype=np.uint64)])
+        s = _fold61(s.reshape(-1, 8).sum(axis=1))
+    return int(s[0])
+
+
+def _rolling_hash_one(t: str) -> int:
+    """Shared scalar semantics (pure Python below ~64 chars where numpy
+    call overhead dominates; identical results — property-tested)."""
+    if len(t) < 64:
+        h = 0
+        for ch in t:
+            h = (h * _BASE + ord(ch)) % _MOD
+        return h
+    return _rolling_hash_one_numpy(t)
+
 
 @F.pandas_udf(T.LongType())
 def rolling_hash64(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Polynomial rolling hash (base 257 mod 2^61-1) over codepoints —
     an order-sensitive fingerprint (md5 is order-sensitive too, but the
-    rolling form supports incremental/windowed variants). Arrow-batched."""
-
-    def one(t: str) -> int:
-        h = 0
-        for ch in t:
-            h = (h * _BASE + ord(ch)) % _MOD
-        return h
-
+    rolling form supports incremental/windowed variants). Arrow-batched;
+    per-doc work is vectorized numpy (precomputed base powers + Mersenne
+    folding — no per-character Python on long documents)."""
     for s in texts:
-        yield s.fillna("").map(one)
+        yield s.fillna("").map(_rolling_hash_one)
 
 
 ALL_STATS = ("n_tokens", "n_subtokens", "n_bytes", "lang_guess", "quality",

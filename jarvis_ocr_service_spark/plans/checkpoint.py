@@ -50,21 +50,34 @@ def plan_batches(files: List[str], files_per_batch: int) -> List[List[str]]:
     return [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
 
 
+def _manifest_exists(spark: SparkSession, manifest_path: str) -> bool:
+    """True iff the manifest path exists (Hadoop FS — file://, s3a:// alike)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(manifest_path)
+    return path.getFileSystem(conf).exists(path)
+
+
 def committed_batches(spark: SparkSession, manifest_path: str) -> set:
-    try:
-        rows = spark.read.parquet(manifest_path).select("batch_id").distinct().collect()
-        return {r.batch_id for r in rows}
-    except Exception:
-        return set()  # no manifest yet
+    # Only a genuinely-absent manifest means "nothing committed". A
+    # transient/partial read failure must PROPAGATE: swallowing it would
+    # silently mark every batch uncommitted, and re-runs would append
+    # duplicate manifest rows (double-counted counters, ambiguous resume).
+    if not _manifest_exists(spark, manifest_path):
+        return set()
+    rows = spark.read.parquet(manifest_path).select("batch_id").distinct().collect()
+    return {r.batch_id for r in rows}
 
 
 def committed_batch_files(spark: SparkSession, manifest_path: str) -> dict:
-    """batch_id -> exact input-file list the committed batch processed."""
-    try:
-        rows = spark.read.parquet(manifest_path).select("batch_id", "files").collect()
-        return {r.batch_id: list(r.files) for r in rows}
-    except Exception:
-        return {}  # no manifest yet
+    """batch_id -> exact input-file list the committed batch processed.
+
+    Same hard-error policy as :func:`committed_batches`: absent manifest ->
+    {}, unreadable manifest -> raise (never guess "nothing committed")."""
+    if not _manifest_exists(spark, manifest_path):
+        return {}
+    rows = spark.read.parquet(manifest_path).select("batch_id", "files").collect()
+    return {r.batch_id: list(r.files) for r in rows}
 
 
 def run_checkpointed(

@@ -214,3 +214,46 @@ def test_embedding_near_dup_pairs_self(spark, emb):
     n = emb.count()
     exact_twins = {(i, i + 10000) for i in range(n)}
     assert exact_twins <= found  # every twin found (same bucket guaranteed)
+
+
+def test_auto_lsh_params_pure_and_sane():
+    from jarvis_ocr_service_spark.functions.simsearch import auto_lsh_params
+
+    # pure + deterministic
+    assert auto_lsh_params(0.95, 500) == auto_lsh_params(0.95, 500)
+    for t in (0.9, 0.95, 0.999):
+        for n in (10, 500, 50_000, 10**9):
+            planes, bands = auto_lsh_params(t, n)
+            assert planes % bands == 0
+            r = planes // bands
+            assert 4 <= r <= 16
+            assert 1 <= bands <= 16
+    # bigger corpus -> wider bands (fewer random collisions per key)
+    assert auto_lsh_params(0.95, 10**6)[0] // auto_lsh_params(0.95, 10**6)[1] \
+        >= auto_lsh_params(0.95, 100)[0] // auto_lsh_params(0.95, 100)[1]
+
+
+def test_embedding_near_dup_auto_sizing_two_corpus_sizes(spark, emb):
+    """Verdict r2 item 6: with NO hand-tuned (n_planes, bands) the banded
+    near-dup must find every planted exact twin at two corpus sizes —
+    auto_lsh_params sizes the bands from the corpus count."""
+    from pyspark.sql import functions as F
+
+    for n_base in (100, 500):
+        sub = emb.filter(F.col("vec_id") < n_base)
+        shifted = sub.select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+        )
+        both = sub.unionByName(shifted)
+        # no n_planes/bands/dim/n_est: count + probe jobs run inside
+        found = {
+            (r.key_a, r.key_b)
+            for r in embedding_near_dup_pairs(both, threshold=0.999999).collect()
+        }
+        n = sub.count()
+        assert n == n_base
+        exact_twins = {(i, i + 10000) for i in range(n)}
+        assert exact_twins <= found, (
+            n_base,
+            len(exact_twins - found),
+        )
