@@ -83,3 +83,91 @@ def test_text_directly_inside_nav_not_merged_into_content():
     nav = [b for b in blocks if b.text.strip() == "Menu text"]
     assert art and not art[0].boiler
     assert nav and nav[0].boiler
+
+
+# --- fast tokenizer equivalence (r3) ---------------------------------------
+
+
+def _block_sig(blocks):
+    return [(b.texts, b.link_chars, b.total_chars, b.boiler, b.tag) for b in blocks]
+
+
+def test_fast_tokenizer_matches_stdlib_on_fixture_pages():
+    from jarvis_ocr_service_spark.operators.extract_html import (
+        parse_blocks,
+        parse_blocks_stdlib,
+    )
+    from jarvis_ocr_service_spark.sources.pages import make_page
+
+    for i in range(300):
+        p = make_page(i)
+        try:
+            h = p["html"].decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        assert _block_sig(parse_blocks(h)) == _block_sig(parse_blocks_stdlib(h)), i
+
+
+ADVERSARIAL = [
+    "", "<", ">", "<>", "< ", "<a", "<a ", "<a href", '<a href="x', "<a/",
+    "<a/>", "<a />", "<br/>text", "<p>a<p>b</p>", "</>", "</ >", "</p", "</p attr>",
+    '<p class="a>b">in</p>', "<p class='a>b'>in</p>", "<p a=1 b = '2' c>x</p>",
+    "<!-- comment -->after", "<!-- unterminated", "<!--> t", "<!---> u",
+    "<!doctype html>x", "<!DOCTYPE  foo >y", "<!bogus stuff>z", "<!unterminated",
+    "<![CDATA[ <p>not a tag</p> ]]>tail", "<![cdata[x]]>", "<![if word]>c<![endif]>",
+    "<![unknownkw]]>rest<p>gone?</p>", "<![", "<![CDATA[ unterminated",
+    "<?php echo '>' ?>t", "<?pi", "<?>x",
+    "a & b &amp; c &unknown; &#65; &#x41; &#; &notareal d",
+    "&amp", "x&", "x&a", "text<1>more", "a < b > c",
+    "<script>var s = '</div>' + \"<style>\";</script><p>kept</p>",
+    "<script>unterminated <p>gone</p>",
+    "<style>p { content: '</p>' }</style><p>kept</p>",
+    "<sCrIpT>x</ScRiPt><p>k</p>", "<script >x</script ><p>k</p>",
+    "<script>x</script\t><p>k</p>", "<script>a</scriptt></script><p>k</p>",
+    "<title>t & s</title><p>k</p>",
+    "<svg><rect/></svg><p>k</p>", "<SVG><p>hidden</p></svg><p>shown</p>",
+    "<a href=/x>l</a>", "<a href= >l</a>", "<a =>l</a>", '<a "v">l</a>',
+    "<p/ >x", "<p /x>y", "<div a='1'b='2'>x</div>",
+    "<p >b", "<p//>e", "<p //>f", "<a href='x'/>h", "<a href=x/>i",
+    "<p\x00a>l", "<p%>z", "<p!>w", "<p.>v", "<p:>u", "<a$ b>t",
+    "<ul><li>one<li>two</ul>", "<table><tr><td>c</td></tr></table>",
+    "\x00<p>nul</p>", "<p>tab\there</p>",
+    "<p>é&eacute;</p>", "<p>&#233;</p>", "<p>&#xE9;</p>",
+    "<p>trailing</p><", "<p>t</p><!", "<p>t</p></", "<p>t</p><!-",
+    "<!--a--!>b", "<!--a--->c", "<![if]>x", "<![endif ]>y",
+    "<a href='x'><b>bold link</b> plain</a> outside",
+    "<form><input name=q><button>go</button></form><p>c</p>",
+]
+
+
+def test_fast_tokenizer_matches_stdlib_on_adversarial_markup():
+    from jarvis_ocr_service_spark.operators.extract_html import (
+        parse_blocks,
+        parse_blocks_stdlib,
+    )
+
+    for h in ADVERSARIAL:
+        assert _block_sig(parse_blocks(h)) == _block_sig(parse_blocks_stdlib(h)), repr(h)
+
+
+def test_fast_tokenizer_matches_stdlib_on_random_fuzz():
+    import random
+
+    from jarvis_ocr_service_spark.operators.extract_html import (
+        parse_blocks,
+        parse_blocks_stdlib,
+    )
+
+    rng = random.Random(1234)
+    pieces = [
+        "<p>", "</p>", "<a href='x'>", "</a>", "<div>", "</div>", "<script>",
+        "</script>", "<style>", "</style>", "<!--", "-->", "<!", "<![CDATA[",
+        "]]>", "<![if x]>", "<![endif]>", "<?", "?>", "<", ">", "&", "&amp;",
+        "&#65;", "&bogus", ";", "'", '"', "=", "/", "!", "text ", "word", " ",
+        "\n", "\t", "é", "😀", "nav", "<nav>", "</nav>", "<br>", "<br/>",
+        "<ul>", "<li>", "</li>", "</ul>", "<td>", "</td>", "x>y", "a<b",
+        "<p >", "<p/>", "<p //>", "<a href=x/>",
+    ]
+    for _ in range(3000):
+        h = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 40)))
+        assert _block_sig(parse_blocks(h)) == _block_sig(parse_blocks_stdlib(h)), repr(h)
