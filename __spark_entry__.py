@@ -652,6 +652,79 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_fixture_col():
+    """Deterministic messy-URL corpus from doc_id — 8 spelling families
+    (case-variant hosts, default ports, utm params, fragments, trailing
+    slashes). Mirrored verbatim in _duck_url_fixture()."""
+    d = F.col("doc_id")
+    k = d % 13
+    m = d % 8
+    return (
+        F.when(m == 0, F.format_string("HTTP://Site%d.Example.COM:80/Path/To/Doc%d", k, d))
+        .when(m == 1, F.format_string("https://site%d.example.com:443/path/doc%d/", k, d))
+        .when(m == 2, F.format_string("http://SITE%d.example.com/path/doc%d?utm_source=x&utm_medium=y", k, d))
+        .when(m == 3, F.format_string("http://site%d.EXAMPLE.com/path/doc%d?a=1&utm_campaign=z&b=2", k, d))
+        .when(m == 4, F.format_string("https://Site%d.example.com/Doc%d#frag-%d", k, d, d))
+        .when(m == 5, F.format_string("http://site%d.example.com/doc%d///", k, d))
+        .when(m == 6, F.format_string("https://site%d.example.com/", k))
+        .otherwise(F.format_string("http://site%d.example.com/a/b%d?utm_a=1&utm_b=2&utm_c=3", k, d))
+    )
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py pinned rule set) over a
+    deterministic messy-URL corpus — crawl-dedup's cheapest lever, pure
+    Column regexps (whole-stage codegen, no Python)."""
+    from jarvis_ocr_service_spark.functions.urls import canonical_url_col
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        _url_fixture_col().alias("raw_url"),
+        canonical_url_col(_url_fixture_col()).alias("curl"),
+    )
+
+
+def _rep_doc_col():
+    """Deterministic repetition-planted document from documents.text:
+    duplicated line (line_a twice) + a doc_id-dependent repeated 25-char
+    tail. Mirrored verbatim in the DuckDB oracle."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    line_a = F.substring(t, 1, 60)
+    line_b = F.substring(t, 61, 60)
+    tail = F.expr(
+        "repeat(concat(' ', substring(coalesce(text, ''), 1, 25)),"
+        " cast(doc_id % 4 as int))"
+    )
+    return F.concat(line_a, F.lit("\n"), line_b, F.lit("\n"), line_a, tail)
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality stats (functions/repetition.py —
+    dup-line fraction, dup-line char fraction, top-2-gram char fraction,
+    dup-5-gram char fraction) over repetition-planted documents. All four
+    ratios are single divisions of exact integers, so DuckDB reproduces
+    them bit-for-bit."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.repetition import (
+        with_repetition_stats,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", _rep_doc_col().alias("rep_doc")
+    )
+    out = with_repetition_stats(
+        docs, "rep_doc", top_grams=(2,), dup_grams=(5,)
+    )
+    return out.select(
+        "doc_id",
+        F.col("rep_stats.dup_line_frac").alias("dup_line_frac"),
+        F.col("rep_stats.dup_line_char_frac").alias("dup_line_char_frac"),
+        F.col("rep_stats.top2_char_frac").alias("top2_char_frac"),
+        F.col("rep_stats.dup5_char_frac").alias("dup5_char_frac"),
+    )
+
+
 def _q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join strategy demo: fact (orders) x dims (customer, nation) with the
     dims explicitly broadcast — at 10^12 fact rows the dims are the only
@@ -851,6 +924,8 @@ QUERIES = {
     "tier_first_valid": _q_tier_first_valid,
     "truncate_flags": _q_truncate_flags,
     "pdf_extract": _q_pdf_extract,
+    "url_canonical": _q_url_canonical,
+    "repetition_stats": _q_repetition_stats,
     # training-data ops
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
@@ -1240,6 +1315,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_hash": _duck_rolling_hash(),
         "truncate_flags": _duck_truncate_flags(),
         "pdf_extract": _duck_pdf_extract(),
+        "url_canonical": _duck_url_canonical(),
+        "repetition_stats": _duck_repetition_stats(),
         "image_meta": _duck_image_meta(),
         "pixel_stats": _duck_pixel_stats(),
         "winnow_fp": _duck_winnow_fp(),
@@ -1477,6 +1554,112 @@ def _duck_pixel_stats() -> str:
                mean_intensity
         FROM (VALUES {values})
              v(url, px_width, px_height, channels, mean_intensity)
+    """
+
+
+def _duck_url_fixture() -> str:
+    """SQL mirror of _url_fixture_col() (printf == format_string here)."""
+    return """
+        CASE doc_id % 8
+          WHEN 0 THEN printf('HTTP://Site%d.Example.COM:80/Path/To/Doc%d', doc_id % 13, doc_id)
+          WHEN 1 THEN printf('https://site%d.example.com:443/path/doc%d/', doc_id % 13, doc_id)
+          WHEN 2 THEN printf('http://SITE%d.example.com/path/doc%d?utm_source=x&utm_medium=y', doc_id % 13, doc_id)
+          WHEN 3 THEN printf('http://site%d.EXAMPLE.com/path/doc%d?a=1&utm_campaign=z&b=2', doc_id % 13, doc_id)
+          WHEN 4 THEN printf('https://Site%d.example.com/Doc%d#frag-%d', doc_id % 13, doc_id, doc_id)
+          WHEN 5 THEN printf('http://site%d.example.com/doc%d///', doc_id % 13, doc_id)
+          WHEN 6 THEN printf('https://site%d.example.com/', doc_id % 13)
+          ELSE printf('http://site%d.example.com/a/b%d?utm_a=1&utm_b=2&utm_c=3', doc_id % 13, doc_id)
+        END
+    """
+
+
+def _duck_url_canonical() -> str:
+    from jarvis_ocr_service_spark.functions.urls import canonical_url_duck_sql
+
+    return f"""
+        WITH raw AS (SELECT doc_id, {_duck_url_fixture()} AS raw_url
+                     FROM documents)
+        SELECT doc_id, raw_url,
+               {canonical_url_duck_sql('raw_url')} AS curl
+        FROM raw
+    """
+
+
+def _duck_repetition_stats() -> str:
+    """Mirror of functions/repetition.repetition_stats_one over the
+    repetition-planted rep_doc (top_grams=(2,), dup_grams=(5,)): every
+    ratio is CAST(int AS DOUBLE)/int — bit-identical to Python int/int
+    division."""
+    strip = "' ' || chr(9) || chr(13) || chr(11) || chr(12)"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 substring(coalesce(text,''), 1, 60) || chr(10) ||
+                 substring(coalesce(text,''), 61, 60) || chr(10) ||
+                 substring(coalesce(text,''), 1, 60) ||
+                 repeat(' ' || substring(coalesce(text,''), 1, 25),
+                        CAST(doc_id % 4 AS INT)) AS rep_doc
+          FROM documents),
+        l AS (SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(rep_doc, chr(10)),
+                                      x -> trim(x, {strip})),
+                       x -> x <> '') AS lines
+              FROM d),
+        lx AS (SELECT doc_id, unnest(lines) AS ln FROM l),
+        lc AS (SELECT doc_id, ln, count(*) AS c FROM lx GROUP BY 1, 2),
+        lagg AS (SELECT doc_id,
+                        count(*) AS nd,
+                        CAST(sum(c) AS BIGINT) AS nl,
+                        CAST(sum(CASE WHEN c >= 2 THEN c * length(ln)
+                                      ELSE 0 END) AS BIGINT) AS dupch,
+                        CAST(sum(c * length(ln)) AS BIGINT) AS totch
+                 FROM lc GROUP BY 1),
+        tk AS (SELECT doc_id, {_duck_py_tokens('rep_doc')} AS toks,
+                      greatest(1, length(rep_doc)) AS tlen
+               FROM d),
+        t2 AS (SELECT doc_id, toks, tlen, len(toks) AS nt FROM tk),
+        g2 AS (SELECT doc_id,
+                      unnest(CASE WHEN nt >= 2 THEN list_transform(
+                               generate_series(1, nt - 1),
+                               i -> toks[i] || ' ' || toks[i+1])
+                             ELSE []::VARCHAR[] END) AS g
+               FROM t2),
+        g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        top2 AS (SELECT doc_id, c * length(g) AS num FROM (
+                   SELECT doc_id, g, c,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY c DESC, g) AS rn
+                   FROM g2c) WHERE rn = 1),
+        g5 AS (SELECT doc_id,
+                      unnest(CASE WHEN nt >= 5 THEN list_transform(
+                               generate_series(1, nt - 4),
+                               i -> array_to_string(toks[i:i+4], ' '))
+                             ELSE []::VARCHAR[] END) AS g
+               FROM t2),
+        g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        d5 AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN c >= 2 THEN c * length(g)
+                                    ELSE 0 END) AS BIGINT) AS dupg,
+                      CAST(sum(c * length(g)) AS BIGINT) AS totg
+               FROM g5c GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(CASE WHEN lagg.nl > 0
+                 THEN CAST(lagg.nl - lagg.nd AS DOUBLE) / lagg.nl END,
+                 0.0e0) AS dup_line_frac,
+               coalesce(CASE WHEN lagg.totch > 0
+                 THEN CAST(lagg.dupch AS DOUBLE) / lagg.totch END,
+                 0.0e0) AS dup_line_char_frac,
+               coalesce(CAST(top2.num AS DOUBLE) / t2.tlen, 0.0e0)
+                 AS top2_char_frac,
+               coalesce(CASE WHEN d5.totg > 0
+                 THEN CAST(d5.dupg AS DOUBLE) / d5.totg END,
+                 0.0e0) AS dup5_char_frac
+        FROM d
+        LEFT JOIN lagg USING (doc_id)
+        LEFT JOIN t2 USING (doc_id)
+        LEFT JOIN top2 USING (doc_id)
+        LEFT JOIN d5 USING (doc_id)
     """
 
 

@@ -1,0 +1,104 @@
+"""URL canonicalization + canonical-URL dedup for crawl pipelines.
+
+Common-Crawl-scale corpora carry the same page under many URL spellings
+(case-variant hosts, default ports, tracking params, fragments, trailing
+slashes). Canonicalizing before dedup collapses those families without
+touching payload bytes — the cheapest dedup lever there is (pure string
+Column expressions, whole-stage codegen, zero Python).
+
+The rule set is PINNED (documented, deterministic, and deliberately
+regex-only so the DuckDB oracle mirrors it exactly — every pattern is
+RE2-safe: no lookaround, no backrefs in patterns):
+
+ 1. trim surrounding whitespace
+ 2. strip the fragment ('#' and everything after)
+ 3. lowercase the scheme://authority head (path/query stay case-sensitive)
+ 4. strip default ports — ':80' for http, ':443' for https
+ 5. drop utm_* query parameters (the tracking-param family)
+ 6. repair separators left by rule 5 ('?&' -> '?', '&&' -> '&',
+    trailing '?'/'&' stripped)
+ 7. collapse trailing slashes of a non-root path when no query remains
+
+This is a practical crawl-dedup canonicalizer, not a full RFC 3986
+normalizer (no percent-encoding normalization, no dot-segment removal).
+
+Reference parity note: the reference service treats URLs as opaque ids;
+this is part of the training-data layer (SURVEY §2 "beyond the
+reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (pattern, spark_replacement) pairs, applied in order. DuckDB mirrors
+# use \\1-style refs instead of $1 — same groups, same semantics.
+_HEAD = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def canonical_url_col(col):
+    """Canonical form of a URL column (rules 1-7 above), pure Column ops."""
+    u = F.trim(F.coalesce(col, F.lit("")))
+    # 2. fragment
+    u = F.regexp_replace(u, r"#.*", "")
+    # 3. lowercase scheme://authority; rest of the string untouched
+    head = F.regexp_extract(u, _HEAD, 1)
+    u = F.concat(F.lower(head), F.substring(u, F.length(head) + F.lit(1), F.length(u)))
+    # 4. default ports (post-lowercase, so literal http/https match)
+    u = F.regexp_replace(u, r"^(http://[^/?#]*):80([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*):443([/?#].*)?$", "$1$2")
+    # 5. utm_* params. A single global pass cannot collapse ADJACENT utm
+    # params ('?utm_a=1&utm_b=2': the second starts inside the first
+    # match), so the mid-string rule runs a pinned 3x cascade; a final
+    # rule kills a trailing utm param.
+    for _ in range(3):
+        u = F.regexp_replace(u, r"([?&])utm_[^&#]*&", "$1")
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*$", "")
+    # 6. separator repair
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    # 7. trailing slashes on a non-root path (only when no query remains)
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/+$", "$1")
+    return u
+
+
+def canonical_url_duck_sql(expr: str) -> str:
+    """The EXACT DuckDB mirror of :func:`canonical_url_col` (kept adjacent
+    so the two rule chains cannot drift apart)."""
+    u = f"trim(coalesce({expr}, ''))"
+    u = f"regexp_replace({u}, '#.*', '', 'g')"
+    head = f"regexp_extract({u}, '{_HEAD}', 1)"
+    # stage the post-fragment string once via a lambda-less trick: DuckDB
+    # evaluates the CTE column; callers should wrap in a CTE for clarity.
+    u = f"(lower({head}) || substring({u}, length({head}) + 1))"
+    u = f"regexp_replace({u}, '^(http://[^/?#]*):80([/?#].*)?$', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(https://[^/?#]*):443([/?#].*)?$', '\\1\\2')"
+    for _ in range(3):
+        u = f"regexp_replace({u}, '([?&])utm_[^&#]*&', '\\1', 'g')"
+    u = f"regexp_replace({u}, '[?&]utm_[^&#]*$', '')"
+    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '[?&]+$', '')"
+    u = (
+        f"regexp_replace({u}, "
+        f"'^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/+$', '\\1')"
+    )
+    return u
+
+
+def dedup_by_canonical_url(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Keep one row per canonical URL — deterministic winner (min raw URL).
+
+    Scale shape: identical to functions/dedup.dedup_exact — one shuffle on
+    the canonical string, min_by keeps lineage flat (no Window sort)."""
+    keyed = df.withColumn("_curl", canonical_url_col(F.col(url_col)))
+    other = [c for c in df.columns]
+    return (
+        keyed.groupBy("_curl")
+        .agg(F.min_by(F.struct(*other), F.col(url_col)).alias("_row"))
+        .select("_row.*")
+    )
