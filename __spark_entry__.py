@@ -652,6 +652,27 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-level near-dup pairs via shared winnowing
+    fingerprints (dedup.winnow_near_pairs — the MOSS corpus form):
+    partial-copy detection that whole-document signatures dilute away."""
+    from jarvis_ocr_service_spark.functions.dedup import winnow_near_pairs
+
+    docs = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return winnow_near_pairs(docs, min_shared=12)
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized TF-IDF lexical top-k (functions/lexsearch.py): all-integer
+    idf weights, query-term filter pushed below the aggregation."""
+    from jarvis_ocr_service_spark.functions.lexsearch import (
+        tfidf_topk_quantized,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return tfidf_topk_quantized(docs, "scan window merge dup", k=10)
+
+
 def _url_fixture_col():
     """Deterministic messy-URL corpus from doc_id — 8 spelling families
     (case-variant hosts, default ports, utm params, fragments, trailing
@@ -926,6 +947,8 @@ QUERIES = {
     "pdf_extract": _q_pdf_extract,
     "url_canonical": _q_url_canonical,
     "repetition_stats": _q_repetition_stats,
+    "winnow_pairs": _q_winnow_pairs,
+    "tfidf_topk": _q_tfidf_topk,
     # training-data ops
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
@@ -1317,6 +1340,8 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": _duck_pdf_extract(),
         "url_canonical": _duck_url_canonical(),
         "repetition_stats": _duck_repetition_stats(),
+        "winnow_pairs": _duck_winnow_pairs(12, "doc_id < 200"),
+        "tfidf_topk": _duck_tfidf_topk(["scan", "window", "merge", "dup"], 10),
         "image_meta": _duck_image_meta(),
         "pixel_stats": _duck_pixel_stats(),
         "winnow_fp": _duck_winnow_fp(),
@@ -1427,13 +1452,15 @@ def _duck_audio_features() -> str:
     """
 
 
-def _duck_winnow_fp(k: int = 8, w: int = 8, max_chars: int = 1024) -> str:
+def _duck_winnow_fp(
+    k: int = 8, w: int = 8, max_chars: int = 1024, key_filter: str = "1=1"
+) -> str:
     """Mirror of with_winnow_fingerprints: per-window minima of md5'd
     character k-grams over a bounded prefix (min over hex strings —
     engine-portable)."""
     return f"""
         WITH b AS (SELECT doc_id, substr(coalesce(text, ''), 1, {max_chars}) AS t
-                   FROM documents),
+                   FROM documents WHERE {key_filter}),
         g AS (SELECT doc_id, t, length(t) AS n,
                 list_transform(
                   generate_series(1, greatest(length(t) - {k - 1}, 1)),
@@ -1448,6 +1475,40 @@ def _duck_winnow_fp(k: int = 8, w: int = 8, max_chars: int = 1024) -> str:
                 END AS fps
               FROM g)
         SELECT doc_id, unnest(fps) AS fp FROM f
+    """
+
+
+def _duck_winnow_pairs(min_shared: int = 12, key_filter: str = "doc_id < 200") -> str:
+    """Mirror of dedup.winnow_near_pairs: self-join of the winnow
+    fingerprint stream on fp, count distinct shared fps per pair."""
+    return f"""
+        WITH wf AS ({_duck_winnow_fp(key_filter=key_filter)})
+        SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+               count(*) AS shared_fp
+        FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+    """
+
+
+def _duck_tfidf_topk(query_terms, k: int = 10, scale: int = 1000000) -> str:
+    """Mirror of lexsearch.tfidf_topk_quantized: all-integer scoring
+    (idf_q = (scale * n_docs) // df — floor division both engines), so
+    scores hash-match exactly; n_docs computed in-query (sf-agnostic)."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    toks = _duck_py_tokens("lower(text)")
+    return f"""
+        WITH ex AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+        idx AS (SELECT doc_id, term, count(*) AS tf
+                FROM ex WHERE term IN ({terms}) GROUP BY 1, 2),
+        idf AS (SELECT term,
+                       CAST({scale} AS BIGINT)
+                         * (SELECT count(*) FROM documents) // count(*)
+                         AS idf_q
+                FROM idx GROUP BY term),
+        sc AS (SELECT idx.doc_id AS key,
+                      CAST(sum(idx.tf * idf.idf_q) AS BIGINT) AS score
+               FROM idx JOIN idf USING (term) GROUP BY 1)
+        SELECT key, score FROM sc ORDER BY score DESC, key LIMIT {k}
     """
 
 

@@ -320,6 +320,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    max_chars: int = 1024,
+    min_shared: int = 2,
+    max_df: int = 0,
+) -> DataFrame:
+    """Substring-level near-duplicate pairs via shared winnowing
+    fingerprints (the cross-document form of MOSS: two documents that
+    share any substring of length >= k+w-1 share at least one
+    fingerprint — see textstats.with_winnow_fingerprints). Returns
+    (key_a, key_b, shared_fp) with key_a < key_b and shared_fp >=
+    ``min_shared`` distinct shared fingerprints.
+
+    This catches *partial-copy* duplication (a paragraph lifted into an
+    otherwise different page) that whole-document signatures (md5,
+    SimHash, MinHash over full shingle sets) dilute away.
+
+    Scale shape: a blocked equi-join on the fingerprint value — the same
+    shape as MinHash-LSH band joins. ``max_df`` > 0 drops fingerprints
+    that appear in more than that many documents before the join
+    (boilerplate substrings — documented recall tradeoff, the standard
+    hot-key guard for 10^12-row corpora; off by default).
+    """
+    from jarvis_ocr_service_spark.functions.textstats import (
+        with_winnow_fingerprints,
+    )
+
+    fp = with_winnow_fingerprints(
+        df.select(key_col, text_col), text_col, k=k, w=w, max_chars=max_chars
+    )
+    ex = fp.select(F.col(key_col).alias("k"), F.explode("winnow_fp").alias("fp"))
+    if max_df:
+        freq = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(freq.filter(F.col("_df") <= max_df).drop("_df"), "fp")
+    return (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.k") < F.col("b.k")),
+        )
+        .groupBy(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster resolution (connected components over the pair graph)
 # ---------------------------------------------------------------------------

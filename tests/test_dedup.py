@@ -300,3 +300,48 @@ def test_dup_clusters_on_minhash_chain(spark):
     assert (1, 2) in got and (2, 3) in got and (1, 3) not in got, got
     clusters = {r.key: r.cluster for r in dup_clusters(pairs).collect()}
     assert clusters == {1: 1, 2: 1, 3: 1}
+
+
+def test_winnow_near_pairs_finds_partial_copy(spark):
+    """A paragraph lifted from doc A into an otherwise-different doc B
+    must produce an (A, B) pair — the substring-level capability that
+    whole-document signatures dilute away."""
+    from jarvis_ocr_service_spark.functions.dedup import winnow_near_pairs
+
+    lifted = "this exact paragraph was copied wholesale between documents"
+    rows = [
+        (0, "completely unrelated opening text " + lifted + " and a different ending"),
+        (1, "another document with its own framing. " + lifted + " plus extra words"),
+        (2, "nothing in common with the others at all, fully distinct content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.key_a, r.key_b) for r in winnow_near_pairs(df, min_shared=2).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_winnow_near_pairs_max_df_drops_boilerplate(spark):
+    """A substring shared by EVERY document (boilerplate) must not create
+    pairs when max_df caps the fingerprint document frequency."""
+    from jarvis_ocr_service_spark.functions.dedup import winnow_near_pairs
+
+    boiler = "standard legal disclaimer appended to every single page here"
+    rows = [(i, f"unique body number {i} {'x' * (i + 1)} " + boiler) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = winnow_near_pairs(df, min_shared=2).count()
+    capped = winnow_near_pairs(df, min_shared=2, max_df=5).count()
+    assert uncapped > 0
+    assert capped < uncapped
+
+
+def test_winnow_near_pairs_plan_is_blocked_equi_join(spark):
+    from jarvis_ocr_service_spark.functions.dedup import winnow_near_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 30"
+    )
+    plan = (
+        winnow_near_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
