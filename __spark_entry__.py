@@ -673,6 +673,15 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk_quantized(docs, "scan window merge dup", k=10)
 
 
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (streaming/windows.sessionize — Spark
+    session_window, 5-minute gap): one shuffle on (user, session), no
+    per-user history sort. Oracle: classic gaps-and-islands SQL."""
+    from jarvis_ocr_service_spark.streaming.windows import sessionize
+
+    return sessionize(_tbl(spark, sf_dir, "events"), gap="5 minutes")
+
+
 def _url_fixture_col():
     """Deterministic messy-URL corpus from doc_id — 8 spelling families
     (case-variant hosts, default ports, utm params, fragments, trailing
@@ -949,6 +958,7 @@ QUERIES = {
     "repetition_stats": _q_repetition_stats,
     "winnow_pairs": _q_winnow_pairs,
     "tfidf_topk": _q_tfidf_topk,
+    "event_sessions": _q_event_sessions,
     # training-data ops
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
@@ -1342,6 +1352,31 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _duck_repetition_stats(),
         "winnow_pairs": _duck_winnow_pairs(12, "doc_id < 200"),
         "tfidf_topk": _duck_tfidf_topk(["scan", "window", "merge", "dup"], 10),
+        # gaps-and-islands mirror of session_window: sessions that TOUCH
+        # merge (measured: an event at exactly last_ts + gap joins the
+        # session — tests/test_windows.py pins it), so a NEW session
+        # starts only when the gap is STRICTLY greater than 5 minutes
+        "event_sessions": """
+            WITH e AS (SELECT user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT user_id, ts, cents,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                OR ts - lag(ts) OVER w
+                                   > INTERVAL '5 minutes'
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts, cents,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m)
+            SELECT user_id AS user,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL '5 minutes' AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM s GROUP BY user_id, sid
+        """,
         "image_meta": _duck_image_meta(),
         "pixel_stats": _duck_pixel_stats(),
         "winnow_fp": _duck_winnow_fp(),
