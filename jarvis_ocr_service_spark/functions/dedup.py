@@ -105,6 +105,96 @@ def minhash_signature(col, num_hashes: int = 16, k: int = 3):
     return F.array(*[one_hash(seed) for seed in range(num_hashes)])
 
 
+def _shingled_with_signatures(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    k: int,
+    max_tokens: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(key, sh: array<long>, sig: array<long>) in one Arrow stage.
+
+    ``sh`` is the document's DISTINCT k-word shingle set as 64-bit hashes
+    (the h1 = low-uint64-of-md5 id of each shingle) — not the strings.
+    Jaccard over the hashed sets equals Jaccard over the string sets
+    (the map is injective modulo 64-bit md5 collisions), and the verify
+    join then shuffles ~16 KB/doc instead of ~40 KB of strings — the
+    string form measured a 65 GB shuffle footprint on a 300k-page
+    composed-pipeline run (disk-DNF); the hashed form fits.
+
+    Signature: double-hashing MinHash family — per distinct shingle s,
+    (h1, h2) = the two uint64 halves of md5(s), and hash_i(s) = h1 + i*h2
+    (mod 2^64); sig[i] = min over the document's shingles. md5 is paid
+    once per *distinct shingle per batch* (crawl corpora repeat shingles
+    heavily — same dict-dedup trick as winnowing); the 16-way min is one
+    numpy (m x num_hashes) reduction per document, no per-element
+    interpreted evaluation anywhere.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("k", key_field.dataType, key_field.nullable),
+            T.StructField("sh", T.ArrayType(T.LongType()), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    n_h = int(num_hashes)
+
+    def gen(batches):
+        steps = np.arange(n_h, dtype=np.uint64)
+        for b in batches:
+            if not len(b):
+                continue
+            doc_shingles = []
+            for t in b[text_col]:
+                toks = (t or "").split()[: max_tokens or None]
+                if len(toks) < k:
+                    doc_shingles.append([" ".join(toks)])
+                else:
+                    doc_shingles.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(toks[i : i + k])
+                                for i in range(len(toks) - k + 1)
+                            )
+                        )
+                    )
+            index: dict = {}
+            flat = [g for sh in doc_shingles for g in sh]
+            inv = np.fromiter(
+                (index.setdefault(g, len(index)) for g in flat),
+                dtype=np.int64,
+                count=len(flat),
+            )
+            dig = b"".join(hashlib.md5(g.encode()).digest() for g in index)
+            halves = np.frombuffer(dig, dtype="<u8").reshape(-1, 2)
+            h1, h2 = halves[:, 0], halves[:, 1]
+            h1_signed = h1.astype(np.int64)
+            sigs = []
+            sh_ids = []
+            pos = 0
+            for sh in doc_shingles:
+                m = len(sh)
+                rows = inv[pos : pos + m]
+                pos += m
+                mat = h1[rows, None] + steps[None, :] * h2[rows, None]
+                sigs.append(mat.min(axis=0).astype(np.int64).tolist())
+                sh_ids.append(h1_signed[rows].tolist())
+            yield pd.DataFrame(
+                {"k": b[key_col], "sh": sh_ids, "sig": sigs}
+            )
+
+    return df.select(key_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -114,6 +204,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     verify_threshold: float = 0.7,
     max_tokens: int = 2000,
+    max_bucket: int = 0,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified with
     exact shingle-set Jaccard. Returns (key_a, key_b, jaccard), key_a<key_b.
@@ -129,36 +220,30 @@ def minhash_lsh_pairs(
 
     Defaults 16 hashes / 4 bands (r=4): band-collision probability j^4 —
     j=0.9 dup collides >=1 band with p~0.94; j=0.3 noise p~0.03.
+
+    ``max_bucket`` > 0 drops any (band, band_hash) bucket wider than the
+    cap BEFORE the self-join — the same hot-key guard as
+    simsearch.embedding_near_dup_pairs. On corpora whose shingle
+    distribution has heavy atoms (tiny vocabularies, templated
+    boilerplate), one hot band value can put O(corpus-fraction) of
+    documents in a single bucket and the candidate set goes quadratic:
+    measured 44+ GB of shuffle (disk-DNF) on a 150k-survivor small-vocab
+    corpus with the guard off vs a bounded join with it on. A dropped
+    bucket only loses pairs whose EVERY colliding band is hot — near-dups
+    still collide on their other bands. Off by default; the prepare
+    pipeline enables it.
     """
     rows_per_band = num_hashes // bands
-    # Stage the shingles and their hashes as REAL columns across separate
-    # projections: interpreted higher-order expressions get no common-
-    # subexpression elimination, so inlining word_shingles into each of
-    # the 16 signature expressions recomputes the (potentially huge)
-    # shingle array 16x — measured minutes-vs-seconds on 50KB documents.
-    shingled = (
-        df.select(
-            F.col(key_col).alias("k"),
-            word_shingles(F.col(text_col), k, max_tokens=max_tokens).alias("sh"),
-        )
-        .withColumn("h", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
-        .withColumn(
-            "sig",
-            F.array(
-                *[
-                    F.array_min(
-                        F.transform(
-                            F.col("h"),
-                            (lambda i: (lambda x: F.xxhash64(x, F.lit(i))))(i),
-                        )
-                    )
-                    for i in range(num_hashes)
-                ]
-            ),
-        )
-        .drop("h")
-        .persist()  # referenced on both sides of the self-join + verify
-    )
+    # Shingles + signatures in ONE Arrow stage (numpy double-hashing
+    # family, batch-level shingle dedup). The previous JVM form staged the
+    # shingle array and ran 16 interpreted `transform` lambdas over it —
+    # higher-order functions never enter whole-stage codegen, so that is
+    # ~32k interpreted element evaluations per 2000-token document,
+    # measured 0.6 core-sec/doc (a composed-pipeline run over 300k pages
+    # DNF'd at 10 min). This form: ~1.5 ms/doc (see test_dedup perf note).
+    shingled = _shingled_with_signatures(
+        df, text_col, key_col, k, max_tokens, num_hashes
+    ).persist()  # referenced on both sides of the self-join + verify
     banded = shingled.select(
         "k",
         F.posexplode(
@@ -175,6 +260,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket:
+        widths = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        banded = banded.join(
+            widths.filter(F.col("_w") <= max_bucket).drop("_w"),
+            ["band", "band_hash"],
+        )
     cand = (
         banded.alias("a")
         .join(

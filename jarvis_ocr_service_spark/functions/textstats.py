@@ -75,6 +75,30 @@ def stopword_hits_col(col, lang: str):
     return stopword_hits_from_toks(tokens_col(F.lower(col)), lang)
 
 
+def spaced_lower_col(col):
+    """' ' || single-space-normalized lowered text || ' ' — the staging
+    column for the native stopword counters (see below)."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+", " "),
+        F.lit(" "),
+    )
+
+
+def stopword_hits_from_spaced(spaced, lang: str):
+    """Marker-token count via a native ``regexp_count`` over the spaced
+    form — PROVABLY equal to the array-filter form (every token of
+    split(trim(s), '\\s+') appears in the spaced string delimited by
+    single spaces, and the lookarounds are zero-width so adjacent markers
+    all count), but it stays inside whole-stage codegen. The array-filter
+    form is an interpreted higher-order lambda: ~one interpreted eval per
+    token per language — measured ~45k evals (tens of ms) per 50KB
+    document, the dominant cost of the prepare pipeline's quality gate.
+    Equality is property-pinned by tests/test_textstats.py."""
+    pat = "(?<= )(" + "|".join(STOPWORDS[lang]) + ")(?= )"
+    return F.regexp_count(spaced, F.lit(pat)).cast("long")
+
+
 def lang_id_from_hits(hits_by_lang):
     """Argmax of per-language hit columns ('und' when no marker appears).
     Deterministic ties: LANGS order. ``hits_by_lang`` maps lang -> Column."""
@@ -330,11 +354,15 @@ def with_text_stats(
         tmp = tmp.withColumn("_ts_ntok", F.size(tokens_col(F.col("_ts_t"))).cast("long"))
         drop.append("_ts_ntok")
     if need_ltoks:
-        tmp = tmp.withColumn("_ts_ltoks", tokens_col(F.lower(F.col("_ts_t"))))
-        drop.append("_ts_ltoks")
+        # native regexp_count over the spaced form — value-identical to
+        # the array-filter form (stopword_hits_from_spaced docstring) but
+        # no interpreted lambda per token
+        tmp = tmp.withColumn("_ts_sp", spaced_lower_col(F.col("_ts_t")))
+        drop.append("_ts_sp")
         for lang in LANGS:
             tmp = tmp.withColumn(
-                f"_ts_h_{lang}", stopword_hits_from_toks(F.col("_ts_ltoks"), lang)
+                f"_ts_h_{lang}",
+                stopword_hits_from_spaced(F.col("_ts_sp"), lang),
             )
             drop.append(f"_ts_h_{lang}")
     t = F.col("_ts_t")

@@ -71,8 +71,13 @@ def prepare_training_data(
     # dup_clusters iterates with actions, and the final anti-join reads
     # `exact` again — persist it so extraction runs once, not per pass
     exact = exact.persist()
+    # max_bucket: hot-band guard (minhash_lsh_pairs docstring) — without
+    # it a heavy shingle atom (templated boilerplate) makes the candidate
+    # join quadratic; 1000 keeps any single bucket's pair contribution
+    # under ~500k while real near-dup clusters (far smaller) are untouched
     pairs = minhash_lsh_pairs(
-        exact, text_col="text", key_col="url", verify_threshold=near_dup_threshold
+        exact, text_col="text", key_col="url",
+        verify_threshold=near_dup_threshold, max_bucket=1000,
     )
     clusters = dup_clusters(pairs, key_a="key_a", key_b="key_b")
     losers = (

@@ -345,3 +345,18 @@ def test_winnow_near_pairs_plan_is_blocked_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_max_bucket_caps_hot_bands(spark):
+    """A corpus of identical documents puts everything in one band bucket;
+    max_bucket drops those buckets instead of a quadratic candidate join
+    (the 300k-page composed-pipeline disk-DNF guard)."""
+    from jarvis_ocr_service_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the same exact templated page body repeated everywhere")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, verify_threshold=0.9).count()
+    capped = minhash_lsh_pairs(df, verify_threshold=0.9, max_bucket=10).count()
+    assert uncapped == 40 * 39 // 2
+    assert capped == 0

@@ -169,3 +169,50 @@ def test_winnow_fingerprints_substring_invariance(spark):
            for r in with_winnow_fingerprints(df).collect()}
     overlap = len(got[0] & got[1]) / len(got[1])
     assert overlap >= 0.8, overlap
+
+
+def test_spaced_stopword_counter_equals_filter_form(spark):
+    """The native regexp_count stopword counter must be value-identical
+    to the interpreted array-filter form on adversarial whitespace /
+    boundary / repetition cases (it replaced the filter form inside
+    with_text_stats for scale)."""
+    import random
+
+    from jarvis_ocr_service_spark.functions.textstats import (
+        LANGS,
+        STOPWORDS,
+        spaced_lower_col,
+        stopword_hits_from_spaced,
+        stopword_hits_from_toks,
+        tokens_col,
+    )
+
+    rng = random.Random(11)
+    vocab = sum(STOPWORDS.values(), []) + ["xxx", "THE", "the.", "thee",
+                                           "and", "", "éé", "a"]
+    cases = [
+        "", " ", "the", " the ", "the the the", "\tthe\nand\r of ",
+        "the  and   of", "Thé the", "the,and", "word the word",
+    ]
+    for _ in range(40):
+        n = rng.randint(0, 30)
+        sep = rng.choice([" ", "  ", "\t", "\n", " \r\n "])
+        cases.append(sep.join(rng.choice(vocab) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    cols = [F.col("i")]
+    for lang in LANGS:
+        cols.append(
+            stopword_hits_from_toks(
+                tokens_col(F.lower(F.col("text"))), lang
+            ).alias(f"f_{lang}")
+        )
+        cols.append(
+            stopword_hits_from_spaced(
+                spaced_lower_col(F.col("text")), lang
+            ).alias(f"s_{lang}")
+        )
+    for r in df.select(*cols).collect():
+        for lang in LANGS:
+            assert r[f"f_{lang}"] == r[f"s_{lang}"], (cases[r.i], lang)
