@@ -80,8 +80,11 @@ def main() -> None:
         minhash_lsh_pairs,
         simhash_near_pairs,
     )
+    from jarvis_ocr_service_spark.functions.lexsearch import tfidf_topk_quantized
+    from jarvis_ocr_service_spark.functions.repetition import with_repetition_stats
     from jarvis_ocr_service_spark.functions.simsearch import cosine_topk
     from jarvis_ocr_service_spark.functions.textstats import text_stats
+    from jarvis_ocr_service_spark.functions.urls import canonical_url_col
     from jarvis_ocr_service_spark.plans.pipeline import run_pipeline, status_by_host
     from jarvis_ocr_service_spark.sources.pages import pages_from_documents
 
@@ -120,6 +123,15 @@ def main() -> None:
             simhash_near_pairs(docs_2k, max_hamming=3)
         ),
         "text_stats": lambda: _noop(text_stats(docs)),
+        "repetition_stats": lambda: _noop(
+            with_repetition_stats(docs, top_grams=(2,), dup_grams=(5,))
+        ),
+        "url_canonical": lambda: _noop(
+            pages.select(canonical_url_col(F.col("url")).alias("curl"))
+        ),
+        "tfidf_topk": lambda: tfidf_topk_quantized(
+            docs, "scan window merge dup", k=10
+        ).collect(),
         "cosine_topk": lambda: cosine_topk(emb, qvec, k=10).collect(),
         "extract_docs_table": lambda: _noop(run_pipeline(pages_from_documents(spark, sf_dir))),
         "extract_status_agg": lambda: _noop(status_by_host(run_pipeline(pages))),
