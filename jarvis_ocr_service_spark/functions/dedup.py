@@ -359,10 +359,14 @@ def ngram_jaccard_pairs(
     key_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
-    max_tokens: int = 0,
+    max_tokens: int = 2000,
     prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact Jaccard >= threshold over distinct k-word shingles.
+
+    ``max_tokens`` defaults to 2000 (matching minhash_lsh_pairs) — the
+    scale-safe bound for 50KB+ documents; pass 0 for unbounded shingling
+    when exact full-document Jaccard is required.
 
     Candidate generation (the scale lever):
       * ``prefix_filter=True`` (default): rarest-first prefix blocking

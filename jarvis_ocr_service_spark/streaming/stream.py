@@ -53,6 +53,78 @@ def run_stream(
     return writer.start()
 
 
+def run_stream_prepare(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    watermark: str = "1 hour",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.5,
+    pdf_mode: str = "parse",
+):
+    """Streaming form of the training-data prepare pipeline — the
+    continuous-crawl-ingest twin of plans/prepare.prepare_training_data:
+
+        pages stream -> cross-micro-batch exact dedup (digest state,
+        watermark-bounded) -> extraction cascade -> quality gate ->
+        append clean corpus
+
+    Dedup runs FIRST here (on the payload digest, before extraction) —
+    in a continuous ingest the same page recrawled minutes apart is the
+    common case, and dropping it before the cascade saves the extraction
+    work entirely (the batch pipeline dedups after extraction because
+    there the cost trade goes the other way — see
+    plans/pipeline._run_dedup_extract's measured A/B). Near-dup collapse
+    stays a periodic BATCH job over the accumulated corpus
+    (plans/prepare) — corpus-wide LSH needs global state that streaming
+    should not hold.
+
+    Exactly-once: Spark's streaming checkpoint tracks input files; a
+    failed micro-batch replays idempotently; dedup state is 16 B per
+    distinct digest inside the watermark horizon.
+    """
+    from pyspark.sql import functions as F
+
+    from jarvis_ocr_service_spark.functions.textstats import with_text_stats
+    from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
+    deduped = (
+        pages.withColumn(
+            "_digest", F.md5(F.coalesce(F.col("html"), F.lit(b"")))
+        )
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        extracted = run_pipeline(batch_df, pdf_mode=pdf_mode).filter(
+            F.col("is_valid")
+        )
+        scored = with_text_stats(
+            extracted.select("url", "text"),
+            stats=("n_tokens", "lang_guess", "quality"),
+        ).filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("quality") >= min_quality)
+        )
+        scored.write.mode("append").parquet(output_path)
+
+    writer = (
+        deduped.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_dedup(
     spark: SparkSession,
     input_path: str,

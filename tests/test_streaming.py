@@ -67,3 +67,37 @@ def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
     assert n_digests == first == base.select(
         F.md5(F.coalesce("html", F.lit(b"")))
     ).distinct().count()
+
+
+def test_stream_prepare_dedups_then_extracts_and_gates(spark, tmp_path):
+    """Streaming prepare: cross-micro-batch payload dedup feeds the
+    extraction cascade + quality gate; a recrawl drop adds ZERO corpus
+    rows, and the surviving rows match the batch pipeline's gate."""
+    from pyspark.sql import functions as F
+
+    from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+    from jarvis_ocr_service_spark.streaming.stream import run_stream_prepare
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    base = synthesize_pages(spark, 60, num_partitions=2).cache()
+    base.write.mode("overwrite").parquet(src)
+    q = run_stream_prepare(spark, src, out, ck, watermark="10 days")
+    q.awaitTermination(180)
+    corpus1 = spark.read.parquet(out)
+    n1 = corpus1.count()
+    # classes 0,1,2,6,8 pass extraction+gate (class 7 fails min_tokens,
+    # 3/4/5/9 fail extraction) -> 5 of 10 classes; class-7 payloads are
+    # all identical so the digest dedup folds them before extraction
+    assert n1 == 30, n1
+    assert set(corpus1.columns) == {"url", "text", "n_tokens", "lang_guess", "quality"}
+    assert corpus1.filter(F.col("quality") < 0.5).count() == 0
+
+    # recrawl: identical payloads under new urls -> all deduped, 0 new rows
+    base.withColumn("url", F.concat(F.col("url"), F.lit("-re"))).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = run_stream_prepare(spark, src, out, ck, watermark="10 days")
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == n1
