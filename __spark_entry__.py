@@ -673,6 +673,39 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk_quantized(docs, "scan window merge dup", k=10)
 
 
+def _q_prepare_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed prepare-pipeline front end (plans/prepare): page build
+    -> full extraction cascade -> is_valid filter -> staged text stats ->
+    token/quality gate — oracle-checkable because extraction round-trips
+    to normalize(text) on this fixture, and every stat formula has an
+    exact SQL mirror (over the normalized text)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.textstats import with_text_stats
+    from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
+    from jarvis_ocr_service_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_pipeline(pages).filter(F.col("is_valid"))
+    # gate thresholds sit INSIDE this fixture's quality/token distribution
+    # (median quality ~0.71, tokens 16-94 at sf0.01) so the predicate
+    # provably cuts rows — a permissive gate would pass 500/500 and the
+    # filter itself would be vacuously checked
+    scored = with_text_stats(
+        extracted.select("url", "text"),
+        stats=("n_tokens", "lang_guess", "quality"),
+    ).filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("quality") >= 0.7)
+    )
+    return scored.select(
+        F.regexp_extract("url", r"/docs/(\d+)$", 1).cast("long").alias("doc_id"),
+        "n_tokens",
+        "lang_guess",
+        "quality",
+    )
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (streaming/windows.sessionize — Spark
     session_window, 5-minute gap): one shuffle on (user, session), no
@@ -959,6 +992,7 @@ QUERIES = {
     "winnow_pairs": _q_winnow_pairs,
     "tfidf_topk": _q_tfidf_topk,
     "event_sessions": _q_event_sessions,
+    "prepare_gate": _q_prepare_gate,
     # training-data ops
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
@@ -1348,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_hash": _duck_rolling_hash(),
         "truncate_flags": _duck_truncate_flags(),
         "pdf_extract": _duck_pdf_extract(),
+        "prepare_gate": _duck_prepare_gate(),
         "url_canonical": _duck_url_canonical(),
         "repetition_stats": _duck_repetition_stats(),
         "winnow_pairs": _duck_winnow_pairs(12, "doc_id < 200"),
@@ -1759,6 +1794,31 @@ def _duck_repetition_stats() -> str:
     """
 
 
+def _duck_prepare_gate() -> str:
+    """Composed mirror of _q_prepare_gate: extraction == normalize(text)
+    on this fixture (the flagship round-trip), so the stats mirrors run
+    over the normalized text and the gate predicate cuts identically
+    (quality doubles are bit-identical — same pinned arithmetic)."""
+    rel = (
+        f"(SELECT doc_id, {_duck_normalize('text')} AS text FROM documents)"
+    )
+    return f"""
+        WITH lang AS ({_duck_lang_id(rel)}),
+        q AS ({_duck_quality_score(rel)}),
+        tok AS (SELECT doc_id,
+                       CAST(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                            ELSE len({_duck_spark_tokens('text')})
+                            END AS BIGINT) AS n_tokens
+                FROM {rel})
+        SELECT tok.doc_id, tok.n_tokens, lang.lang_guess, q.quality
+        FROM tok
+        JOIN lang USING (doc_id)
+        JOIN q USING (doc_id)
+        WHERE tok.n_tokens >= 30 AND tok.n_tokens <= 100000
+          AND q.quality >= 0.7e0
+    """
+
+
 def _duck_truncate_flags() -> str:
     """VALUES oracle for UTF-8-safe truncation: expected rows precomputed
     with the shared pure-Python cascade (sources/pages.expected_result).
@@ -1985,9 +2045,11 @@ def _duck_embedding_near_dups(
     """
 
 
-def _duck_lang_id() -> str:
+def _duck_lang_id(rel: str = "documents") -> str:
     """DuckDB mirror of textstats.lang_id_col: argmax of stopword hits,
-    strictly-greater update over langs in sorted order, 'und' on zero."""
+    strictly-greater update over langs in sorted order, 'und' on zero.
+    ``rel``: source relation with (doc_id, text) — parameterized so the
+    composed prepare_gate oracle can run it over normalized text."""
     from jarvis_ocr_service_spark.functions.textstats import LANGS, STOPWORDS
 
     hit_cols = ", ".join(
@@ -2001,7 +2063,7 @@ def _duck_lang_id() -> str:
     return f"""
         WITH tk AS (SELECT doc_id,
                            {_duck_spark_tokens('lower(text)')} AS toks
-                    FROM documents),
+                    FROM {rel}),
         h AS (SELECT doc_id, {hit_cols} FROM tk),
         g AS (SELECT *, {gmax} AS gm FROM h)
         SELECT doc_id, CASE WHEN gm = 0 THEN 'und' {case} END AS lang_guess
@@ -2009,9 +2071,10 @@ def _duck_lang_id() -> str:
     """
 
 
-def _duck_quality_score() -> str:
+def _duck_quality_score(rel: str = "documents") -> str:
     """DuckDB mirror of textstats.quality_score_col (identical arithmetic
-    order; e0 suffixes force DOUBLE literals, not DECIMAL)."""
+    order; e0 suffixes force DOUBLE literals, not DECIMAL). ``rel`` as in
+    _duck_lang_id."""
     from jarvis_ocr_service_spark.functions.textstats import LANGS, STOPWORDS
 
     stop_sum = " + ".join(
@@ -2026,7 +2089,7 @@ def _duck_quality_score() -> str:
           SELECT doc_id,
                  coalesce(text, '') AS t,
                  length(coalesce(text, '')) AS n
-          FROM documents),
+          FROM {rel}),
         m AS (
           SELECT doc_id, n,
             CAST(length(regexp_replace(t, '[^A-Za-z]+', '', 'g')) AS DOUBLE)
