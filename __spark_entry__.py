@@ -673,6 +673,25 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk_quantized(docs, "scan window merge dup", k=10)
 
 
+def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (functions/urls.outlinks_col) over the built
+    pages: boilerplate pages carry 24 double-quoted nav hrefs + 2
+    single-quoted footer hrefs in a fixed document order; clean pages
+    carry none. The oracle is CLOSED-FORM from the page-construction spec
+    (sources/pages.pages_from_documents) — independent of the extractor."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.urls import outlinks_col
+    from jarvis_ocr_service_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    links = outlinks_col(F.col("html"))
+    return pages.select(
+        F.regexp_extract("url", r"/docs/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.size(links).cast("long").alias("n_links"),
+        F.array_join(links, "|").alias("links_str"),
+    )
+
+
 def _q_prepare_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed prepare-pipeline front end (plans/prepare): page build
     -> full extraction cascade -> is_valid filter -> staged text stats ->
@@ -993,6 +1012,7 @@ QUERIES = {
     "tfidf_topk": _q_tfidf_topk,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
+    "page_outlinks": _q_page_outlinks,
     # training-data ops
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
@@ -1383,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "truncate_flags": _duck_truncate_flags(),
         "pdf_extract": _duck_pdf_extract(),
         "prepare_gate": _duck_prepare_gate(),
+        "page_outlinks": _duck_page_outlinks(),
         "url_canonical": _duck_url_canonical(),
         "repetition_stats": _duck_repetition_stats(),
         "winnow_pairs": _duck_winnow_pairs(12, "doc_id < 200"),
@@ -1791,6 +1812,23 @@ def _duck_repetition_stats() -> str:
         LEFT JOIN t2 USING (doc_id)
         LEFT JOIN top2 USING (doc_id)
         LEFT JOIN d5 USING (doc_id)
+    """
+
+
+def _duck_page_outlinks() -> str:
+    """Closed-form oracle from the page-construction spec: boilerplate
+    pages (doc_id % 3 == 0) carry exactly /cat0../cat23 then /about,/tos
+    in that document order; clean pages carry none. Derived from
+    sources/pages.pages_from_documents' literal template — NOT from
+    running any extractor, so this row is fully independent evidence."""
+    expected = "|".join([f"/cat{k}" for k in range(24)] + ["/about", "/tos"])
+    return f"""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 26 ELSE 0 END AS BIGINT)
+                 AS n_links,
+               CASE WHEN doc_id % 3 = 0 THEN '{expected}' ELSE '' END
+                 AS links_str
+        FROM documents
     """
 
 

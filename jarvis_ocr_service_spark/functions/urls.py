@@ -88,6 +88,54 @@ def canonical_url_duck_sql(expr: str) -> str:
     return u
 
 
+def outlinks_col(html_col):
+    """href values of an HTML payload, in document order (array<string>)
+    — the raw material of the crawl's link graph. Pure Column ops:
+    kind-gated decode (CASE branches evaluate lazily, so binary payloads
+    never reach decode — Spark 4's decode throws on malformed bytes) +
+    one regexp pass. Pattern ``href\\s*=\\s*["']([^"']*)["']`` accepts
+    both quote styles (and tolerates mixed quotes — deliberate, it keeps
+    the DuckDB mirror trivially identical); non-HTML payloads yield an
+    empty array."""
+    from jarvis_ocr_service_spark.operators.dispatch import (
+        KIND_HTML,
+        content_kind_col,
+    )
+
+    links = F.regexp_extract_all(
+        F.decode(html_col, "UTF-8"),
+        F.lit("href\\s*=\\s*[\"']([^\"']*)[\"']"),
+        1,
+    )
+    return F.when(content_kind_col(html_col) == KIND_HTML, links).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def outlink_host_edges(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n) over absolute
+    http(s) outlinks — the input shape of PageRank-style authority jobs.
+    Relative links (no host) are dropped here; page-level outlinks are
+    available from :func:`outlinks_col` directly.
+
+    Scale shape: explode -> project hosts -> one groupBy shuffle carrying
+    only (host, host) pairs; partial aggregation runs map-side."""
+    src = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    ex = df.select(
+        src.alias("src_host"),
+        F.explode(outlinks_col(F.col(html_col))).alias("_l"),
+    )
+    dst = F.regexp_extract(F.col("_l"), r"^https?://([^/?#]+)", 1)
+    return (
+        ex.select("src_host", dst.alias("dst_host"))
+        .filter(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def dedup_by_canonical_url(
     df: DataFrame, url_col: str = "url"
 ) -> DataFrame:

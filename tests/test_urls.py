@@ -91,3 +91,45 @@ def test_canonicalize_is_codegen_only(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_outlinks_col_quote_styles_order_and_binary_gating(spark):
+    from jarvis_ocr_service_spark.functions.urls import outlinks_col
+    from jarvis_ocr_service_spark.sources.pages import _minimal_png
+
+    rows = [
+        (0, b'<html><a href="/a">x</a><a href=\'/b\'>y</a>'
+            b'<link href = "/c.css"><p>no link</p></html>'),
+        (1, b"plain text, not html, href=\"/nope\" is just text? no - "
+            b"it has no markup so kind=text"),
+        (2, _minimal_png()),         # binary: decode must never run
+        (3, b""),                    # empty
+        (4, b"<p>nothing here</p>"),
+    ]
+    df = spark.createDataFrame(rows, "i long, html binary")
+    got = {r.i: r.links for r in df.select(
+        "i", outlinks_col(F.col("html")).alias("links")
+    ).collect()}
+    assert got[0] == ["/a", "/b", "/c.css"]  # document order, both quotes
+    assert got[2] == [] and got[3] == []
+    assert got[4] == []
+
+
+def test_outlink_host_edges(spark):
+    from jarvis_ocr_service_spark.functions.urls import outlink_host_edges
+
+    page = (
+        b'<html><a href="https://other.com/x">abs</a>'
+        b'<a href="/rel">rel</a>'
+        b'<a href="http://other.com/y">abs2</a>'
+        b'<a href="https://third.org/z">abs3</a></html>'
+    )
+    df = spark.createDataFrame(
+        [("https://me.example.com/p1", page)], "url string, html binary"
+    )
+    got = {(r.src_host, r.dst_host): r.n for r in outlink_host_edges(df).collect()}
+    # relative link dropped; other.com counted twice
+    assert got == {
+        ("me.example.com", "other.com"): 2,
+        ("me.example.com", "third.org"): 1,
+    }
