@@ -692,6 +692,23 @@ def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized PageRank (functions/graph.py — all-integer iteration, so
+    an ITERATIVE algorithm is value-exact against a DuckDB mirror of k
+    chained rounds). Deterministic hub-shaped edge fixture from doc_id:
+    src = doc_id%20 -> dst = doc_id%7 (nodes 0-6 accumulate authority,
+    7-19 hold base rank — varied in/out degrees, non-vacuous ranks)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.graph import pagerank_quantized
+
+    docs = _tbl(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 20).alias("src"),
+        (F.col("doc_id") % 7).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank_quantized(edges, iters=5)
+
+
 def _q_prepare_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed prepare-pipeline front end (plans/prepare): page build
     -> full extraction cascade -> is_valid filter -> staged text stats ->
@@ -1013,6 +1030,7 @@ QUERIES = {
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
+    "pagerank": _q_pagerank,
     # training-data ops
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
@@ -1404,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": _duck_pdf_extract(),
         "prepare_gate": _duck_prepare_gate(),
         "page_outlinks": _duck_page_outlinks(),
+        "pagerank": _duck_pagerank(5),
         "url_canonical": _duck_url_canonical(),
         "repetition_stats": _duck_repetition_stats(),
         "winnow_pairs": _duck_winnow_pairs(12, "doc_id < 200"),
@@ -1812,6 +1831,45 @@ def _duck_repetition_stats() -> str:
         LEFT JOIN t2 USING (doc_id)
         LEFT JOIN top2 USING (doc_id)
         LEFT JOIN d5 USING (doc_id)
+    """
+
+
+def _duck_pagerank(iters: int = 5, scale: int = 10**12) -> str:
+    """Mirror of graph.pagerank_quantized: k chained CTE rounds of the
+    identical integer arithmetic (// == Spark's div on non-negative
+    BIGINTs) over the same closed-form edge fixture."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cur = f"r{i}"
+        rounds.append(f"""
+        c{i} AS (SELECT e.dst AS node,
+                        CAST(sum({prev}.rank // deg.deg) AS BIGINT) AS inc
+                 FROM e JOIN deg USING (src)
+                 JOIN {prev} ON {prev}.node = e.src
+                 GROUP BY 1),
+        {cur} AS (SELECT nodes.node,
+                         CAST(base.b + (85 * coalesce(c{i}.inc, 0)) // 100
+                              AS BIGINT) AS rank
+                  FROM nodes CROSS JOIN base
+                  LEFT JOIN c{i} ON c{i}.node = nodes.node)""")
+        prev = cur
+    chain = ",".join(rounds)
+    return f"""
+        WITH e AS (SELECT DISTINCT doc_id % 20 AS src, doc_id % 7 AS dst
+                   FROM documents
+                   WHERE doc_id % 20 != doc_id % 7),
+        nodes AS (SELECT DISTINCT node FROM
+                    (SELECT src AS node FROM e
+                     UNION ALL SELECT dst FROM e)),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        p AS (SELECT CAST({scale} AS BIGINT) // count(*) AS init
+              FROM nodes),
+        base AS (SELECT (15 * init) // 100 AS b, init FROM p),
+        r0 AS (SELECT node, CAST(base.init AS BIGINT) AS rank
+               FROM nodes CROSS JOIN base),
+        {chain}
+        SELECT node, rank AS rank_q FROM {prev}
     """
 
 

@@ -1,0 +1,64 @@
+"""Quantized PageRank: exact-integer iteration sanity + determinism."""
+
+from pyspark.sql import functions as F
+
+from jarvis_ocr_service_spark.functions.graph import pagerank_quantized
+
+
+def test_hub_accumulates_authority(spark):
+    # star: 0..4 -> 5; node 5 must end far above the spokes
+    edges = spark.createDataFrame(
+        [(i, 5) for i in range(5)], "src long, dst long"
+    )
+    got = {r.node: r.rank_q for r in pagerank_quantized(edges, iters=5).collect()}
+    assert got[5] > 3 * got[0]
+    assert len({got[i] for i in range(5)}) == 1  # spokes symmetric
+
+
+def test_exact_python_reference(spark):
+    """Spark result == a direct pure-Python evaluation of the pinned
+    integer recurrence (independent implementation)."""
+    raw = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.node: r.rank_q for r in pagerank_quantized(edges, iters=4).collect()}
+
+    nodes = sorted({s for s, _ in raw} | {d for _, d in raw})
+    scale, n = 10**12, len(nodes)
+    init = scale // n
+    base = (15 * init) // 100
+    deg = {}
+    for s, _ in set(raw):
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: init for v in nodes}
+    for _ in range(4):
+        inc = {v: 0 for v in nodes}
+        for s, d in set(raw):
+            inc[d] += r[s] // deg[s]
+        r = {v: base + (85 * inc[v]) // 100 for v in nodes}
+    assert got == r
+
+
+def test_deterministic_across_runs(spark):
+    edges = spark.createDataFrame(
+        [(i % 11, (i * 3 + 1) % 11) for i in range(60) if i % 11 != (i * 3 + 1) % 11],
+        "src long, dst long",
+    )
+    a = sorted((r.node, r.rank_q) for r in pagerank_quantized(edges, iters=5).collect())
+    b = sorted((r.node, r.rank_q) for r in pagerank_quantized(edges, iters=5).collect())
+    assert a == b
+
+
+def test_release_cached_contract(spark):
+    """pagerank carries exactly its final persisted frame; release is
+    counted and idempotent (the attach_cached/release_cached contract)."""
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    from jarvis_ocr_service_spark.plans.caching import (
+        carried_cached,
+        release_cached,
+    )
+
+    out = pagerank_quantized(edges, iters=2)
+    out.collect()
+    assert len(carried_cached(out)) == 1
+    assert release_cached(out) == 1
+    assert release_cached(out) == 0  # idempotent
