@@ -359,14 +359,18 @@ def ngram_jaccard_pairs(
     key_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
-    max_tokens: int = 2000,
+    max_tokens: int = 0,
     prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact Jaccard >= threshold over distinct k-word shingles.
 
-    ``max_tokens`` defaults to 2000 (matching minhash_lsh_pairs) — the
-    scale-safe bound for 50KB+ documents; pass 0 for unbounded shingling
-    when exact full-document Jaccard is required.
+    ``max_tokens`` defaults to 0 (UNBOUNDED) so the headline contract —
+    exact full-document Jaccard — holds by default (r3 ADVICE: a silent
+    2000 default changed pair membership for long documents). Callers at
+    corpus scale should opt into a cap (the entry/prepare paths pass 500
+    / 2000 explicitly) — unbounded shingling of 50KB documents is the
+    scale hazard, bounded shingling is the semantic one; the choice is
+    now explicit.
 
     Candidate generation (the scale lever):
       * ``prefix_filter=True`` (default): rarest-first prefix blocking

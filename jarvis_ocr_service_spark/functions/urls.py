@@ -91,19 +91,30 @@ def canonical_url_duck_sql(expr: str) -> str:
 def outlinks_col(html_col):
     """href values of an HTML payload, in document order (array<string>)
     — the raw material of the crawl's link graph. Pure Column ops:
-    kind-gated decode (CASE branches evaluate lazily, so binary payloads
-    never reach decode — Spark 4's decode throws on malformed bytes) +
-    one regexp pass. Pattern ``href\\s*=\\s*["']([^"']*)["']`` accepts
-    both quote styles (and tolerates mixed quotes — deliberate, it keeps
-    the DuckDB mirror trivially identical); non-HTML payloads yield an
-    empty array."""
+    kind gate + a TOTAL binary->string cast + one regexp pass.
+
+    Decode tolerance: the cast is ``binary.cast("string")``, NOT
+    ``F.decode(_, 'UTF-8')`` — Spark 4's decode throws
+    MALFORMED_CHARACTER_CODING on any malformed byte, and the kind gate
+    deliberately classifies latin-1/UTF-16 HTML as HTML (content_kind_col
+    sniffs structure, not charset), so one accented latin-1 page would
+    crash the whole job. The cast is a byte-passthrough that the regexp
+    evaluation then reads with the JVM's standard replacement decoding:
+    ASCII markup (``href=...`` syntax) is unaffected, non-UTF-8 bytes
+    inside extracted URLs surface as U+FFFD — deterministic, never a
+    row error. Real-world hosts are ASCII/punycode, so the link graph
+    built on top is unaffected by the replacement.
+
+    Pattern ``href\\s*=\\s*["']([^"']*)["']`` accepts both quote styles
+    (and tolerates mixed quotes — deliberate, it keeps the DuckDB mirror
+    trivially identical); non-HTML payloads yield an empty array."""
     from jarvis_ocr_service_spark.operators.dispatch import (
         KIND_HTML,
         content_kind_col,
     )
 
     links = F.regexp_extract_all(
-        F.decode(html_col, "UTF-8"),
+        html_col.cast("string"),
         F.lit("href\\s*=\\s*[\"']([^\"']*)[\"']"),
         1,
     )

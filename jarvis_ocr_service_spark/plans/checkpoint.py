@@ -51,11 +51,26 @@ def plan_batches(files: List[str], files_per_batch: int) -> List[List[str]]:
 
 
 def _manifest_exists(spark: SparkSession, manifest_path: str) -> bool:
-    """True iff the manifest path exists (Hadoop FS — file://, s3a:// alike)."""
+    """True iff the manifest path holds COMMITTED parquet data.
+
+    "Exists but holds no committed part files" counts as nothing-committed:
+    a crash during the very first batch's manifest write can leave only
+    ``_temporary`` (or an empty dir), and treating that as an existing
+    manifest would make ``spark.read.parquet`` fail with
+    'unable to infer schema' — permanently blocking resume even though
+    nothing was ever committed (r3 ADVICE). Genuine read failures on a
+    manifest that *does* have part files still propagate from the read."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(manifest_path)
-    return path.getFileSystem(conf).exists(path)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return False
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith("part-"):
+            return True
+    return False
 
 
 def committed_batches(spark: SparkSession, manifest_path: str) -> set:

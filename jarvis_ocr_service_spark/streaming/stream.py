@@ -22,6 +22,29 @@ from pyspark.sql import SparkSession
 from jarvis_ocr_service_spark.schema import PAGES_SCHEMA
 
 
+def _write_batch_idempotent(batch_df, output_path: str, batch_id: int) -> None:
+    """foreachBatch sink that is EXACTLY-once, not at-least-once.
+
+    A blind ``mode('append')`` inside foreachBatch is at-least-once: a
+    crash after the parquet commit but before the streaming checkpoint
+    commit replays the micro-batch and appends duplicate rows (r3
+    ADVICE). Keying the write on ``batch_id`` with dynamic partition
+    overwrite makes the replay overwrite exactly the partition the failed
+    attempt wrote — same rows, no duplicates — which is the standard
+    idempotent-foreachBatch recipe. Readers see one extra ``batch`` long
+    partition column (analogous to plans/checkpoint.py's batch_id dirs).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        batch_df.withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(output_path)
+    )
+
+
 def run_stream(
     spark: SparkSession,
     input_path: str,
@@ -41,7 +64,7 @@ def run_stream(
 
     def process_batch(batch_df, batch_id: int):
         results = run_pipeline(batch_df, pdf_mode=pdf_mode)
-        results.write.mode("append").parquet(output_path)
+        _write_batch_idempotent(results, output_path, batch_id)
 
     writer = (
         pages.writeStream.foreachBatch(process_batch)
@@ -82,9 +105,11 @@ def run_stream_prepare(
     (plans/prepare) — corpus-wide LSH needs global state that streaming
     should not hold.
 
-    Exactly-once: Spark's streaming checkpoint tracks input files; a
-    failed micro-batch replays idempotently; dedup state is 16 B per
-    distinct digest inside the watermark horizon.
+    Exactly-once: Spark's streaming checkpoint tracks input files, and
+    the sink is batch-id-keyed dynamic partition overwrite
+    (:func:`_write_batch_idempotent`) so a replayed micro-batch
+    overwrites its own partition instead of appending duplicates; dedup
+    state is 16 B per distinct digest inside the watermark horizon.
     """
     from pyspark.sql import functions as F
 
@@ -113,7 +138,7 @@ def run_stream_prepare(
             & (F.col("n_tokens") <= max_tokens)
             & (F.col("quality") >= min_quality)
         )
-        scored.write.mode("append").parquet(output_path)
+        _write_batch_idempotent(scored, output_path, batch_id)
 
     writer = (
         deduped.writeStream.foreachBatch(process_batch)

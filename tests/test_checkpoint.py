@@ -114,3 +114,18 @@ def test_rerun_after_complete_is_noop(spark, pages_dir, tmp_path):
     stats = run_checkpointed(spark, pages_dir, out, man, files_per_batch=3)
     assert stats["ran"] == 0 and stats["complete"]
     assert read_committed(spark, out, man).count() == N
+
+
+def test_uncommitted_manifest_dir_means_nothing_committed(spark, pages_dir, tmp_path):
+    """A manifest directory left by a crash during the FIRST batch's
+    manifest write (only _temporary / no part files) must read as
+    "nothing committed" so the automated resume can proceed — not a
+    permanent 'unable to infer schema' block (r3 ADVICE)."""
+    import os
+
+    out, man = str(tmp_path / "o5"), str(tmp_path / "m5")
+    os.makedirs(os.path.join(man, "_temporary", "0"))
+    assert committed_batches(spark, man) == set()
+    stats = run_checkpointed(spark, pages_dir, out, man, files_per_batch=3)
+    assert stats["complete"] and stats["skipped_committed"] == 0
+    assert read_committed(spark, out, man).count() == N

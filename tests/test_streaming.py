@@ -91,7 +91,10 @@ def test_stream_prepare_dedups_then_extracts_and_gates(spark, tmp_path):
     # 3/4/5/9 fail extraction) -> 5 of 10 classes; class-7 payloads are
     # all identical so the digest dedup folds them before extraction
     assert n1 == 30, n1
-    assert set(corpus1.columns) == {"url", "text", "n_tokens", "lang_guess", "quality"}
+    # `batch` is the idempotency partition key (_write_batch_idempotent)
+    assert set(corpus1.columns) == {
+        "url", "text", "n_tokens", "lang_guess", "quality", "batch"
+    }
     assert corpus1.filter(F.col("quality") < 0.5).count() == 0
 
     # recrawl: identical payloads under new urls -> all deduped, 0 new rows
@@ -101,3 +104,22 @@ def test_stream_prepare_dedups_then_extracts_and_gates(spark, tmp_path):
     q2 = run_stream_prepare(spark, src, out, ck, watermark="10 days")
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once mechanism itself: replaying a micro-batch write
+    (crash between parquet commit and checkpoint commit) overwrites its
+    own batch partition instead of appending duplicates."""
+    from jarvis_ocr_service_spark.streaming.stream import _write_batch_idempotent
+
+    out = str(tmp_path / "out")
+    df = spark.range(50).selectExpr("id", "id * 2 AS v")
+    _write_batch_idempotent(df, out, 0)
+    _write_batch_idempotent(df, out, 0)  # the replay
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.select("id").distinct().count() == 50
+    # a later batch lands beside it, untouched by batch-0 replays
+    _write_batch_idempotent(spark.range(50, 80).selectExpr("id", "id*2 AS v"), out, 1)
+    _write_batch_idempotent(df, out, 0)
+    assert spark.read.parquet(out).count() == 80

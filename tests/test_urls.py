@@ -105,6 +105,15 @@ def test_outlinks_col_quote_styles_order_and_binary_gating(spark):
         (2, _minimal_png()),         # binary: decode must never run
         (3, b""),                    # empty
         (4, b"<p>nothing here</p>"),
+        # latin-1 HTML: accented byte OUTSIDE any href — the whole row is
+        # malformed UTF-8, which crashed the old F.decode form (ADVICE r3).
+        (5, b'<html><p>caf\xe9</p><a href="/ok">x</a></html>'),
+        # latin-1 byte INSIDE the href value: extraction still succeeds,
+        # the non-UTF-8 byte surfaces as U+FFFD (pinned replacement).
+        (6, b'<html><a href="/caf\xe9/menu">x</a></html>'),
+        # UTF-16-LE BOM'd HTML (kind gate says html; bytes are not UTF-8):
+        # must not crash; the NUL-interleaved markup simply matches nothing.
+        (7, ("\ufeff" + '<html><a href="/u16">x</a></html>').encode("utf-16-le")),
     ]
     df = spark.createDataFrame(rows, "i long, html binary")
     got = {r.i: r.links for r in df.select(
@@ -113,6 +122,9 @@ def test_outlinks_col_quote_styles_order_and_binary_gating(spark):
     assert got[0] == ["/a", "/b", "/c.css"]  # document order, both quotes
     assert got[2] == [] and got[3] == []
     assert got[4] == []
+    assert got[5] == ["/ok"]
+    assert got[6] == ["/caf�/menu"]
+    assert got[7] == []
 
 
 def test_outlink_host_edges(spark):
