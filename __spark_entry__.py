@@ -673,6 +673,19 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk_quantized(docs, "scan window merge dup", k=10)
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized BM25 top-k (functions/lexsearch.bm25_topk_quantized):
+    TF-IDF plus tf saturation and document-length normalization, kept
+    all-integer (k1=6/5, b=3/4 as rationals; avgdl floor-quantized) so
+    the DuckDB mirror is value-exact."""
+    from jarvis_ocr_service_spark.functions.lexsearch import (
+        bm25_topk_quantized,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return bm25_topk_quantized(docs, "scan window merge dup", k=10)
+
+
 def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction (functions/urls.outlinks_col) over the built
     pages: boilerplate pages carry 24 double-quoted nav hrefs + 2
@@ -1004,6 +1017,15 @@ def _q_top1_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # Least-recently-driver-checked first: these four had rows in
+    # CORRECTNESS_r02 but the r3 driver emission sampled 50/54 and
+    # skipped them — if the driver ever samples again, the staleest
+    # evidence refreshes first (r3 verdict item 3). Dict order is the
+    # only ordering signal the driver sees.
+    "json_props": _q_json_props,
+    "events_by_hour": _q_events_by_hour,
+    "events_tumbling_5min": _q_events_tumbling_5min,
+    "top1_per_user": _q_top1_per_user,
     "flagship_extract": _q_flagship,
     "extract_boilerplate_strip": _q_extract_boilerplate_strip,
     "normalize_text": _q_normalize,
@@ -1027,6 +1049,7 @@ QUERIES = {
     "repetition_stats": _q_repetition_stats,
     "winnow_pairs": _q_winnow_pairs,
     "tfidf_topk": _q_tfidf_topk,
+    "bm25_topk": _q_bm25_topk,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
@@ -1057,10 +1080,6 @@ QUERIES = {
     "envelope_validation": _q_envelope_validation,
     "base64_roundtrip": _q_base64_roundtrip,
     "tesseract_lang_map": _q_tesseract_lang_map,
-    "json_props": _q_json_props,
-    "events_by_hour": _q_events_by_hour,
-    "events_tumbling_5min": _q_events_tumbling_5min,
-    "top1_per_user": _q_top1_per_user,
 }
 
 
@@ -1427,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _duck_repetition_stats(),
         "winnow_pairs": _duck_winnow_pairs(12, "doc_id < 200"),
         "tfidf_topk": _duck_tfidf_topk(["scan", "window", "merge", "dup"], 10),
+        "bm25_topk": _duck_bm25_topk(["scan", "window", "merge", "dup"], 10),
         # gaps-and-islands mirror of session_window: sessions that TOUCH
         # merge (measured: an event at exactly last_ts + gap joins the
         # session — tests/test_windows.py pins it), so a NEW session
@@ -1618,6 +1638,50 @@ def _duck_tfidf_topk(query_terms, k: int = 10, scale: int = 1000000) -> str:
         sc AS (SELECT idx.doc_id AS key,
                       CAST(sum(idx.tf * idf.idf_q) AS BIGINT) AS score
                FROM idx JOIN idf USING (term) GROUP BY 1)
+        SELECT key, score FROM sc ORDER BY score DESC, key LIMIT {k}
+    """
+
+
+def _duck_bm25_topk(
+    query_terms,
+    k: int = 10,
+    scale: int = 1000000,
+    k1=(6, 5),
+    b=(3, 4),
+) -> str:
+    """Mirror of lexsearch.bm25_topk_quantized — the exact documented
+    integer recurrence (avgdl floor-quantized once per corpus; Robertson
+    idf via the *2+1 trick; one floor division per (doc, term)), so
+    scores hash-match to the last bit."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    toks = _duck_py_tokens("lower(text)")
+    k1n, k1d = k1
+    bn, bd = b
+    return f"""
+        WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+        params AS (SELECT count(*) AS n,
+                          greatest(1, CAST(coalesce(sum(len(toks)), 0)
+                                           AS BIGINT)
+                                      // greatest(1, count(*))) AS avgdl
+                   FROM base),
+        ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+               FROM base),
+        idx AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM ex WHERE term IN ({terms}) GROUP BY 1, 2),
+        idf AS (SELECT term,
+                       (CAST({scale} AS BIGINT)
+                        * (2 * ((SELECT n FROM params) - count(*)) + 1))
+                         // (2 * count(*) + 1) AS idf_q
+                FROM idx GROUP BY term),
+        sc AS (SELECT idx.doc_id AS key,
+                      CAST(sum(
+                        (idf.idf_q * (idx.tf * {(k1n + k1d) * bd} * p.avgdl))
+                        // (idx.tf * {k1d * bd} * p.avgdl
+                            + {k1n} * ({bd - bn} * p.avgdl
+                                       + {bn} * idx.dl))
+                      ) AS BIGINT) AS score
+               FROM idx JOIN idf USING (term) CROSS JOIN params p
+               GROUP BY 1)
         SELECT key, score FROM sc ORDER BY score DESC, key LIMIT {k}
     """
 

@@ -666,8 +666,10 @@ def simhash_near_pairs(
     key_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 0,
+    max_bucket: int = 0,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(sig) <= max_hamming — complete recall.
+    """Near-dup pairs with Hamming(sig) <= max_hamming — complete recall
+    (when ``max_bucket`` is off).
 
     Pigeonhole blocking: the 64-bit signature is split into ``bands``
     contiguous slices; any pair within Hamming <= bands-1 must agree on at
@@ -675,6 +677,19 @@ def simhash_near_pairs(
     (the smallest complete layout — 4 bands can only guarantee Hamming<=3).
     Join per band, then verify the true Hamming distance with bit_count
     (JVM-side).
+
+    ``max_bucket`` > 0 drops any (band, band_key) bucket wider than the
+    cap BEFORE the self-join — the same hot-key guard as
+    minhash_lsh_pairs / winnow_near_pairs / embedding_near_dup_pairs. On
+    templated or short-text corpora the signature distribution has heavy
+    atoms: with 4 bands of 16 bits, f·N documents sharing one hot band
+    value make the candidate set (f·N)² — the exact blow-up class the
+    minhash guard was added for after a measured 44-65 GB shuffle-scratch
+    DNF. Recall trade (documented, matching minhash): a dropped bucket
+    only loses pairs whose EVERY agreeing band is hot — pairs at
+    Hamming << bands typically agree on several bands and still collide
+    on a cold one. Off by default so the complete-recall contract holds;
+    corpus-scale callers should enable it.
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
@@ -705,6 +720,14 @@ def simhash_near_pairs(
             )
         ).alias("band", "band_key"),
     )
+    if max_bucket:
+        widths = banded.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        banded = banded.join(
+            widths.filter(F.col("_w") <= max_bucket).drop("_w"),
+            ["band", "band_key"],
+        )
     pairs = (
         banded.alias("a")
         .join(

@@ -294,24 +294,50 @@ def status_by_host(results: DataFrame) -> DataFrame:
     )
 
 
-def completion_messages(results: DataFrame, job_col: str = "url") -> DataFrame:
+def completion_messages(
+    results: DataFrame,
+    job_col: str = "url",
+    max_per_job: int = 8,
+    include_text: bool = True,
+) -> DataFrame:
     """Assemble the reference's ``ocr.completed`` envelope per job
     (app/queue_schemas.py:123-173): ``results[]`` ordered by image index,
     ``payload.status`` from the any-valid rule, constant envelope fields.
 
-    ``job_col`` groups rows into jobs (host by default — a web-corpus job
-    is "everything from one site in this batch"). Index = arrival order
-    within the job (deterministic: url sort). uuid/created_at are stamped
-    at write time and excluded from golden comparison (SURVEY T16).
-    """
+    Rows group into jobs by host ("everything from one site in this
+    batch"), CHUNKED to ``max_per_job`` images per envelope — the
+    reference's own job cap (queue_schemas.py:67-68 caps a job at 8
+    images). The cap is what makes this corpus-safe: without it, job=host
+    means one hot host (a 20% host is in the repo's own fixtures) builds
+    a single multi-GB collect_list row carrying full 50KB texts (r3
+    verdict). With it, every collected array is <= max_per_job structs;
+    a host with more images emits multiple envelopes sharing its
+    ``workflow_id``, each with index restarting at 0 — exactly how the
+    reference splits a large workflow into jobs. ``max_per_job=0``
+    restores the unbounded one-envelope-per-host form (compat/testing
+    only — not for corpus-wide runs).
+
+    ``include_text=False`` drops ``ocr_text`` from results[] (meta,
+    including text_len, is kept) for callers that only need the
+    bookkeeping envelope — no reason to shuffle full texts for that.
+
+    Index = arrival order within the job (deterministic: url sort).
+    The per-host row_number window still sorts each host's rows in one
+    partition — a spillable sort of (url, text) rows, not an in-memory
+    array build, which is the part that must stay bounded.
+    uuid/created_at are stamped at write time and excluded from golden
+    comparison (SURVEY T16)."""
     from pyspark.sql import Window
 
     host = url_host(F.col("url")).alias("job_key")
     w = Window.partitionBy("job_key").orderBy("url")
+    result_cols = ["index", "url", "ocr_text", "truncated", "meta"]
+    if not include_text:
+        result_cols.remove("ocr_text")
     per_image = results.select(
         host,
         F.col("url"),
-        F.col("text").alias("ocr_text"),
+        *([F.col("text").alias("ocr_text")] if include_text else []),
         F.col("truncated"),
         F.struct(
             F.col("language"),
@@ -321,12 +347,18 @@ def completion_messages(results: DataFrame, job_col: str = "url") -> DataFrame:
             F.col("tier"),
             F.col("validation_reason"),
         ).alias("meta"),
-    ).withColumn("index", (F.row_number().over(w) - 1).cast("long"))
-    grouped = per_image.groupBy("job_key").agg(
+    ).withColumn("_pos", (F.row_number().over(w) - 1).cast("long"))
+    if max_per_job:
+        per_image = per_image.withColumn(
+            "_chunk", F.floor(F.col("_pos") / max_per_job)
+        ).withColumn("index", F.col("_pos") % max_per_job)
+    else:
+        per_image = per_image.withColumn("_chunk", F.lit(0)).withColumn(
+            "index", F.col("_pos")
+        )
+    grouped = per_image.groupBy("job_key", "_chunk").agg(
         F.array_sort(
-            F.collect_list(
-                F.struct("index", "url", "ocr_text", "truncated", "meta")
-            )
+            F.collect_list(F.struct(*result_cols))
         ).alias("results"),
         F.max(F.col("meta.is_valid")).alias("_any_valid"),
     )

