@@ -722,6 +722,24 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_quantized(edges, iters=5)
 
 
+def _q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized PageRank with RENORMALIZED dangling mass (functions/
+    graph.py dangling='renormalize'): each round the summed rank of
+    zero-outdegree nodes is redistributed uniformly as the exact integer
+    D // N. Two-layer fixture makes the term non-vacuous every round:
+    src = doc_id%12 -> dst = 12 + doc_id%6, so nodes 12-17 are pure
+    sinks holding ~1/3 of the mass."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.graph import pagerank_quantized
+
+    docs = _tbl(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 12).alias("src"),
+        (F.lit(12) + F.col("doc_id") % 6).alias("dst"),
+    )
+    return pagerank_quantized(edges, iters=5, dangling="renormalize")
+
+
 def _q_prepare_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed prepare-pipeline front end (plans/prepare): page build
     -> full extraction cascade -> is_valid filter -> staged text stats ->
@@ -1054,6 +1072,7 @@ QUERIES = {
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
     "pagerank": _q_pagerank,
+    "pagerank_dangling": _q_pagerank_dangling,
     # training-data ops
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
@@ -1442,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         "prepare_gate": _duck_prepare_gate(),
         "page_outlinks": _duck_page_outlinks(),
         "pagerank": _duck_pagerank(5),
+        "pagerank_dangling": _duck_pagerank_dangling(5),
         "url_canonical": _duck_url_canonical(),
         "repetition_stats": _duck_repetition_stats(),
         "winnow_pairs": _duck_winnow_pairs(12, "doc_id < 200"),
@@ -1923,6 +1943,54 @@ def _duck_pagerank(iters: int = 5, scale: int = 10**12) -> str:
         WITH e AS (SELECT DISTINCT doc_id % 20 AS src, doc_id % 7 AS dst
                    FROM documents
                    WHERE doc_id % 20 != doc_id % 7),
+        nodes AS (SELECT DISTINCT node FROM
+                    (SELECT src AS node FROM e
+                     UNION ALL SELECT dst FROM e)),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        p AS (SELECT CAST({scale} AS BIGINT) // count(*) AS init
+              FROM nodes),
+        base AS (SELECT (15 * init) // 100 AS b, init FROM p),
+        r0 AS (SELECT node, CAST(base.init AS BIGINT) AS rank
+               FROM nodes CROSS JOIN base),
+        {chain}
+        SELECT node, rank AS rank_q FROM {prev}
+    """
+
+
+def _duck_pagerank_dangling(iters: int = 5, scale: int = 10**12) -> str:
+    """Mirror of graph.pagerank_quantized(dangling='renormalize'): each
+    chained round adds the exact integer dangling share
+    D // N = sum(rank of zero-outdegree nodes) // count(nodes) to every
+    node's inbound mass before damping — identical floor arithmetic both
+    engines, so an iterative algorithm WITH a per-round global scalar is
+    still value-exact."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cur = f"r{i}"
+        rounds.append(f"""
+        d{i} AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT)
+                        // (SELECT count(*) FROM nodes) AS share
+                 FROM {prev}
+                 WHERE node NOT IN (SELECT src FROM e)),
+        c{i} AS (SELECT e.dst AS node,
+                        CAST(sum({prev}.rank // deg.deg) AS BIGINT) AS inc
+                 FROM e JOIN deg USING (src)
+                 JOIN {prev} ON {prev}.node = e.src
+                 GROUP BY 1),
+        {cur} AS (SELECT nodes.node,
+                         CAST(base.b
+                              + (85 * (coalesce(c{i}.inc, 0)
+                                       + (SELECT share FROM d{i}))) // 100
+                              AS BIGINT) AS rank
+                  FROM nodes CROSS JOIN base
+                  LEFT JOIN c{i} ON c{i}.node = nodes.node)""")
+        prev = cur
+    chain = ",".join(rounds)
+    return f"""
+        WITH e AS (SELECT DISTINCT doc_id % 12 AS src,
+                          12 + doc_id % 6 AS dst
+                   FROM documents),
         nodes AS (SELECT DISTINCT node FROM
                     (SELECT src AS node FROM e
                      UNION ALL SELECT dst FROM e)),

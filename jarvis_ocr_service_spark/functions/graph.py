@@ -11,19 +11,33 @@ applied to iteration:
     inc_v     = sum of shares over in-edges      (exact int sum —
                                                   order-independent)
     r_v'      = ((den-num) * (scale // N)) // den
-                + (num * inc_v) // den           (num/den = 85/100)
+                + (num * (inc_v [+ D // N])) // den    (num/den = 85/100)
 
 Every operation is integer floor division / multiplication / addition,
 so the rank vector after k rounds is bit-identical in any engine —
-DuckDB reproduces it with k chained CTEs. Dangling-mass is the standard
-simplified treatment (rank flowing into sink nodes leaks; totals are
-not renormalized) — documented, identical on both sides.
+DuckDB reproduces it with k chained CTEs.
+
+Dangling mass: ``dangling="leak"`` (default) is the simplified
+treatment — rank flowing into sink nodes leaks, totals are not
+renormalized; ``dangling="renormalize"`` applies the standard
+redistribution: each round the summed rank D of zero-outdegree nodes is
+shared uniformly (the quantized ``D // N`` term above — one exact BIGINT
+scalar per round, so the iteration stays bit-reproducible). The two
+modes are a documented divergence; both have chained-CTE oracles.
 
 Scale shape: per round one join (edges x ranks — ranks is (node, long),
-never wide rows) + one aggregation; lineage stays LINEAR because each
-round's frame is persisted and fully materialized (count) before the
-previous cache drops — the dup_clusters discipline. Rounds are a fixed
-small constant (authority scores converge geometrically).
+never wide rows) + one aggregation; lineage is TRUNCATED every round
+with an eager ``localCheckpoint`` — persist+count alone keeps the
+logical plan growing per round, and past ~25 rounds the nested
+InMemoryRelation tree blows up plan handling (measured: driver OOM in
+generateTreeString at iters=30; checkpointing makes every round's plan
+O(1)). localCheckpoint is executor-local — on a real cluster with
+executor churn, set a checkpoint dir and swap in reliable
+``.checkpoint()`` (one-line change, noted inline). Rounds are a fixed
+small constant (authority scores converge geometrically), or
+``until_fixpoint=True`` iterates to the exact quantized fixpoint (the
+integer dynamics usually reach a literal fixed vector) under a hard
+``max_iters`` cap.
 """
 
 from __future__ import annotations
@@ -43,10 +57,25 @@ def pagerank_quantized(
     damp_num: int = 85,
     damp_den: int = 100,
     n_nodes: int | None = None,
+    dangling: str = "leak",
+    until_fixpoint: bool = False,
+    max_iters: int = 50,
 ) -> DataFrame:
     """(node, rank_q) after ``iters`` rounds — rank_q is an exact BIGINT.
 
-    ``n_nodes`` skips the count job when the caller knows it."""
+    ``n_nodes`` skips the count job when the caller knows it.
+    ``dangling`` selects the sink-mass treatment (module docstring).
+    ``until_fixpoint=True`` ignores ``iters`` and iterates until the
+    quantized rank vector is literally unchanged (round <= ``max_iters``,
+    hard error past the cap — never a silently-unconverged result; the
+    per-round convergence check is one extra (node, long) join).
+
+    The returned frame carries ONE persisted (node, long) frame; callers
+    who materialize it should release it via plans/caching.release_cached
+    (attach_cached pattern) — otherwise that small cache lives until the
+    session ends."""
+    if dangling not in ("leak", "renormalize"):
+        raise ValueError("dangling must be 'leak' or 'renormalize'")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -68,11 +97,32 @@ def pagerank_quantized(
     ).persist()
     e_deg.count()
 
+    dangling_nodes = None
+    if dangling == "renormalize":
+        dangling_nodes = nodes.join(
+            e.select("src").distinct().withColumnRenamed("src", "node"),
+            "node",
+            "left_anti",
+        ).persist()
+        dangling_nodes.count()
+
+    # eager localCheckpoint: materializes AND cuts lineage (module
+    # docstring; at cluster scale prefer sc.setCheckpointDir + .checkpoint())
     ranks = nodes.select(
         "node", F.lit(init).cast("long").alias("rank")
-    ).persist()
-    ranks.count()
-    for _ in range(int(iters)):
+    ).localCheckpoint()
+    rounds = int(max_iters) if until_fixpoint else int(iters)
+    converged = not until_fixpoint
+    for _ in range(rounds):
+        dm_share = 0
+        if dangling_nodes is not None:
+            # one exact BIGINT scalar per round — the redistribution term
+            dm = (
+                ranks.join(dangling_nodes, "node")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+            )
+            dm_share = int(dm or 0) // int(n_nodes)
         contrib = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("rank div deg").alias("share"))
@@ -85,16 +135,41 @@ def pagerank_quantized(
                 "node",
                 (
                     F.lit(base)
-                    + F.expr(f"({damp_num} * coalesce(inc, 0L)) div {damp_den}")
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inc, 0L) + {dm_share}))"
+                        f" div {damp_den}"
+                    )
                 ).cast("long").alias("rank"),
             )
-            .persist()
+            .localCheckpoint()  # eager: materialized + lineage cut
         )
-        new_ranks.count()  # fully materialize BEFORE dropping the old cache
-        ranks.unpersist()
-        ranks = new_ranks
+        if until_fixpoint:
+            changed = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("_old")), "node"
+                )
+                .filter(F.col("rank") != F.col("_old"))
+                .count()
+            )
+            ranks.unpersist()  # checkpoint blocks of the old round
+            ranks = new_ranks
+            if changed == 0:
+                converged = True
+                break
+        else:
+            ranks.unpersist()
+            ranks = new_ranks
     e_deg.unpersist()
     nodes.unpersist()
+    if dangling_nodes is not None:
+        dangling_nodes.unpersist()
+    if not converged:
+        ranks.unpersist()
+        raise RuntimeError(
+            f"pagerank_quantized did not reach a quantized fixpoint within "
+            f"{max_iters} rounds — integer dynamics can (rarely) oscillate; "
+            "use a fixed iters instead"
+        )
     from jarvis_ocr_service_spark.plans.caching import attach_cached
 
     return attach_cached(

@@ -129,3 +129,50 @@ def test_uncommitted_manifest_dir_means_nothing_committed(spark, pages_dir, tmp_
     stats = run_checkpointed(spark, pages_dir, out, man, files_per_batch=3)
     assert stats["complete"] and stats["skipped_committed"] == 0
     assert read_committed(spark, out, man).count() == N
+
+
+def test_incremental_dedup_across_resume(spark, tmp_path):
+    """dedup_against_committed: a recrawled duplicate arriving in a LATER
+    batch — including after a kill-and-resume — is dropped against the
+    already-COMMITTED corpus output, and resume equals one-shot exactly."""
+    src = str(tmp_path / "dup_pages")
+    base = synthesize_pages(spark, 60, num_partitions=2)
+    base.write.mode("overwrite").parquet(src)
+    # recrawl: identical payloads under new urls, landing in later files
+    base.withColumn("url", F.concat(F.col("url"), F.lit("-re"))).write.mode(
+        "append"
+    ).parquet(src)
+    n_distinct = (
+        spark.read.parquet(src)
+        .select(F.md5(F.coalesce("html", F.lit(b""))))
+        .distinct()
+        .count()
+    )
+
+    # one-shot
+    out1, man1 = str(tmp_path / "o1"), str(tmp_path / "m1")
+    run_checkpointed(
+        spark, src, out1, man1, files_per_batch=1, dedup_against_committed=True
+    )
+    one_shot = read_committed(spark, out1, man1)
+    assert one_shot.count() == n_distinct
+    assert one_shot.select("url").distinct().count() == n_distinct
+
+    # kill after 1 batch, then resume
+    out2, man2 = str(tmp_path / "o2"), str(tmp_path / "m2")
+    run_checkpointed(
+        spark, src, out2, man2, files_per_batch=1, max_batches=1,
+        dedup_against_committed=True,
+    )
+    assert committed_batches(spark, man2) == {0}
+    stats = run_checkpointed(
+        spark, src, out2, man2, files_per_batch=1, dedup_against_committed=True
+    )
+    assert stats["complete"] and stats["skipped_committed"] == 1
+    resumed = read_committed(spark, out2, man2)
+    assert _collect_sorted(resumed) == _collect_sorted(one_shot)
+
+    # without the flag the recrawl rows all land (the r3 gap)
+    out3, man3 = str(tmp_path / "o3"), str(tmp_path / "m3")
+    run_checkpointed(spark, src, out3, man3, files_per_batch=1)
+    assert read_committed(spark, out3, man3).count() == 120
