@@ -673,6 +673,61 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk_quantized(docs, "scan window merge dup", k=10)
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/pii.py — pinned RE2-safe
+    rule chain, pure codegen). The corpus is word-salad with no PII, so
+    the query plants synthetic PII deterministically from doc_id (email
+    always; phone/ip/ssn on residue classes) — the SAME construction in
+    the DuckDB mirror, so every count and every redacted byte is
+    predicate-biting and value-checked."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.pii import with_pii_stats
+
+    docs = _tbl(spark, sf_dir, "documents")
+    t = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" ip 10.0.0.1")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+    )
+    enriched = docs.select("doc_id", t.alias("text"))
+    return with_pii_stats(enriched).select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ip",
+        "has_pii",
+        "text_redacted",
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/contamination.py): 13-gram
+    collision vs an eval-set stand-in (every doc_id % 50 == 0 document).
+    The corpus repeats each distinct text ~10x, so the benchmark docs'
+    exact copies are flagged too — the predicate bites well beyond the
+    benchmark rows themselves. Map-only plan (broadcast gram set, no
+    explode-join)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.contamination import (
+        contamination_hits,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_hits(docs, bench, n=13)
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized BM25 top-k (functions/lexsearch.bm25_topk_quantized):
     TF-IDF plus tf saturation and document-length normalization, kept
@@ -1068,6 +1123,8 @@ QUERIES = {
     "winnow_pairs": _q_winnow_pairs,
     "tfidf_topk": _q_tfidf_topk,
     "bm25_topk": _q_bm25_topk,
+    "pii_scrub": _q_pii_scrub,
+    "contamination": _q_contamination,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
@@ -1467,6 +1524,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _duck_winnow_pairs(12, "doc_id < 200"),
         "tfidf_topk": _duck_tfidf_topk(["scan", "window", "merge", "dup"], 10),
         "bm25_topk": _duck_bm25_topk(["scan", "window", "merge", "dup"], 10),
+        "pii_scrub": _duck_pii_scrub(),
+        "contamination": _duck_contamination(13, 50),
         # gaps-and-islands mirror of session_window: sessions that TOUCH
         # merge (measured: an event at exactly last_ts + gap joins the
         # session — tests/test_windows.py pins it), so a NEW session
@@ -1703,6 +1762,68 @@ def _duck_bm25_topk(
                FROM idx JOIN idf USING (term) CROSS JOIN params p
                GROUP BY 1)
         SELECT key, score FROM sc ORDER BY score DESC, key LIMIT {k}
+    """
+
+
+def _duck_pii_scrub() -> str:
+    """Mirror of _q_pii_scrub: identical synthetic-PII construction,
+    then functions/pii.py's OWN DuckDB rule-chain mirror (the module
+    ships it urls.py-style, so the chains cannot drift)."""
+    from jarvis_ocr_service_spark.functions.pii import (
+        pii_count_duck_sql,
+        redact_pii_duck_sql,
+    )
+
+    counts = pii_count_duck_sql("text")
+    return f"""
+        WITH enriched AS (
+          SELECT doc_id,
+                 substr(text, 1, 80)
+                 || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com'
+                 || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.0.0.1'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789'
+                         ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               {counts['email']} AS n_email,
+               {counts['ssn']} AS n_ssn,
+               {counts['phone']} AS n_phone,
+               {counts['ip']} AS n_ip,
+               ({counts['email']} + {counts['ssn']}
+                + {counts['phone']} + {counts['ip']}) > 0 AS has_pii,
+               {redact_pii_duck_sql('text')} AS text_redacted
+        FROM enriched
+    """
+
+
+def _duck_contamination(n: int = 13, bench_mod: int = 50) -> str:
+    """Mirror of _q_contamination: distinct lowercased py-token n-grams,
+    benchmark = doc_id % bench_mod == 0 rows, count of DISTINCT shared
+    grams per doc, every doc reported (clean rows n_hits=0)."""
+    toks = _duck_py_tokens("lower(text)")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(tk) < {n} THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(tk) - {n - 1}),
+                                 i -> array_to_string(tk[i:i+{n - 1}], ' ')))
+                     END AS grams
+              FROM t),
+        bench AS (SELECT DISTINCT unnest(grams) AS bg FROM g
+                  WHERE doc_id % {bench_mod} = 0),
+        ex AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM ex WHERE gr IN (SELECT bg FROM bench)
+                 GROUP BY 1)
+        SELECT d.doc_id AS key,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
     """
 
 

@@ -80,11 +80,24 @@ def main() -> None:
         minhash_lsh_pairs,
         simhash_near_pairs,
     )
-    from jarvis_ocr_service_spark.functions.lexsearch import tfidf_topk_quantized
+    from jarvis_ocr_service_spark.functions.graph import pagerank_quantized
+    from jarvis_ocr_service_spark.functions.lexsearch import (
+        bm25_topk_quantized,
+        tfidf_topk_quantized,
+    )
+    from jarvis_ocr_service_spark.functions.urls import outlink_host_edges
+    from jarvis_ocr_service_spark.plans.caching import release_cached
     from jarvis_ocr_service_spark.functions.repetition import with_repetition_stats
     from jarvis_ocr_service_spark.functions.simsearch import cosine_topk
     from jarvis_ocr_service_spark.functions.textstats import text_stats
     from jarvis_ocr_service_spark.functions.urls import canonical_url_col
+
+    def _link_graph_pagerank():
+        # pages -> host-level link graph -> 3 quantized authority rounds;
+        # collect is k-hosts-sized, cache released per run
+        out = pagerank_quantized(outlink_host_edges(pages), iters=3)
+        out.collect()
+        release_cached(out)
     from jarvis_ocr_service_spark.plans.pipeline import run_pipeline, status_by_host
     from jarvis_ocr_service_spark.sources.pages import pages_from_documents
 
@@ -132,6 +145,10 @@ def main() -> None:
         "tfidf_topk": lambda: tfidf_topk_quantized(
             docs, "scan window merge dup", k=10
         ).collect(),
+        "bm25_topk": lambda: bm25_topk_quantized(
+            docs, "scan window merge dup", k=10
+        ).collect(),
+        "link_graph_pagerank": _link_graph_pagerank,
         "cosine_topk": lambda: cosine_topk(emb, qvec, k=10).collect(),
         "extract_docs_table": lambda: _noop(run_pipeline(pages_from_documents(spark, sf_dir))),
         "extract_status_agg": lambda: _noop(status_by_host(run_pipeline(pages))),
