@@ -673,6 +673,54 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk_quantized(docs, "scan window merge dup", k=10)
 
 
+def _phash_fixture_png(i: int) -> bytes:
+    """Deterministic per-doc image payload: 5 gradient base classes,
+    i//5 pixel perturbations (planted image near-dups), every 9th row
+    undecodable bytes (null-hash path)."""
+    import numpy as np
+
+    from jarvis_ocr_service_spark.operators.png_codec import (
+        encode_png_pixels,
+    )
+
+    if i % 9 == 0 and i > 0:
+        return b"not an image %d" % i
+    c = i % 5
+    y, x = np.mgrid[0:16, 0:24]
+    img = ((x * 7 + y * 11 + c * 37) % 256).astype(np.uint8)
+    for p in range((i // 5) % 4):
+        img[p, p] = (int(img[p, p]) + 11) % 256
+    return encode_png_pixels(img)
+
+
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (functions/imagehash.py): integer-DCT
+    pHash over the from-scratch PNG codec — all-integer (quantized
+    cosine matrix), so the hash is bit-identical in any process. The
+    undecodable rows exercise the null path (and the nullable-Int64
+    regression: a float64-inferred column silently rounds 64-bit hashes
+    at the 53-bit mantissa)."""
+    _ensure_dist(spark)
+    import pandas as pd
+
+    from jarvis_ocr_service_spark.functions.imagehash import with_phash
+
+    def gen(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "html": [_phash_fixture_png(int(i)) for i in ids],
+                }
+            )
+
+    imgs = spark.range(60).mapInPandas(gen, schema="doc_id long, html binary")
+    return with_phash(imgs).select("doc_id", "phash")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/pii.py — pinned RE2-safe
     rule chain, pure codegen). The corpus is word-salad with no PII, so
@@ -1125,6 +1173,7 @@ QUERIES = {
     "bm25_topk": _q_bm25_topk,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
+    "image_phash": _q_image_phash,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
@@ -1526,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _duck_bm25_topk(["scan", "window", "merge", "dup"], 10),
         "pii_scrub": _duck_pii_scrub(),
         "contamination": _duck_contamination(13, 50),
+        "image_phash": _duck_image_phash(60),
         # gaps-and-islands mirror of session_window: sessions that TOUCH
         # merge (measured: an event at exactly last_ts + gap joins the
         # session — tests/test_windows.py pins it), so a NEW session
@@ -1824,6 +1874,32 @@ def _duck_contamination(n: int = 13, bench_mod: int = 50) -> str:
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def _duck_image_phash(n: int = 60) -> str:
+    """VALUES oracle: expected pHashes precomputed with the shared pure
+    function over the same deterministic payloads.
+
+    Independence scope (honest): same pattern as _duck_pixel_stats —
+    this row proves the distributed Arrow path (incl. the nullable-Int64
+    batch column) reproduces the pure all-integer implementation
+    bit-for-bit; algorithm determinism itself is pinned separately by
+    tests/test_imagehash.py (process-to-process identity, luma/perturb/
+    brute-force properties)."""
+    from jarvis_ocr_service_spark.functions.imagehash import phash64
+
+    rows = []
+    for i in range(n):
+        h = phash64(_phash_fixture_png(i))
+        rows.append(
+            f"({i}, {h if h is not None else 'CAST(NULL AS BIGINT)'})"
+        )
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(phash AS BIGINT) AS phash
+        FROM (VALUES {values}) v(doc_id, phash)
     """
 
 

@@ -85,17 +85,23 @@ def main() -> None:
         bm25_topk_quantized,
         tfidf_topk_quantized,
     )
-    from jarvis_ocr_service_spark.functions.urls import outlink_host_edges
+    from jarvis_ocr_service_spark.functions.urls import outlinks_col
     from jarvis_ocr_service_spark.plans.caching import release_cached
     from jarvis_ocr_service_spark.functions.repetition import with_repetition_stats
     from jarvis_ocr_service_spark.functions.simsearch import cosine_topk
     from jarvis_ocr_service_spark.functions.textstats import text_stats
     from jarvis_ocr_service_spark.functions.urls import canonical_url_col
 
-    def _link_graph_pagerank():
-        # pages -> host-level link graph -> 3 quantized authority rounds;
-        # collect is k-hosts-sized, cache released per run
-        out = pagerank_quantized(outlink_host_edges(pages), iters=3)
+    def _pagerank_iters():
+        # 3 quantized authority rounds over a dense docs-derived edge
+        # table (synthetic pages carry only relative links, so the
+        # host-level graph is empty there — measured the hard way);
+        # collect is nodes-sized, cache released per run
+        edges = docs.select(
+            (F.col("doc_id") % 1000).alias("src"),
+            (F.col("doc_id") % 357).alias("dst"),
+        ).filter("src != dst")
+        out = pagerank_quantized(edges, iters=3)
         out.collect()
         release_cached(out)
     from jarvis_ocr_service_spark.plans.pipeline import run_pipeline, status_by_host
@@ -148,7 +154,12 @@ def main() -> None:
         "bm25_topk": lambda: bm25_topk_quantized(
             docs, "scan window merge dup", k=10
         ).collect(),
-        "link_graph_pagerank": _link_graph_pagerank,
+        "page_outlinks": lambda: _noop(
+            pages.select(
+                F.explode(outlinks_col(F.col("html"))).alias("link")
+            )
+        ),
+        "pagerank_iters": _pagerank_iters,
         "cosine_topk": lambda: cosine_topk(emb, qvec, k=10).collect(),
         "extract_docs_table": lambda: _noop(run_pipeline(pages_from_documents(spark, sf_dir))),
         "extract_status_agg": lambda: _noop(status_by_host(run_pipeline(pages))),

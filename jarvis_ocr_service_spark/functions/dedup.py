@@ -660,6 +660,83 @@ def simhash64(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield batch(s)
 
 
+def hamming_band_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 0,
+    max_bucket: int = 0,
+    key_col: str = "k",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Pairs with Hamming(64-bit sig) <= max_hamming over a (key, sig)
+    frame — the pigeonhole-banded self-join shared by SimHash text
+    near-dup and pHash image near-dup. Complete recall when
+    ``max_bucket`` is off: the signature splits into ``bands`` contiguous
+    slices (default max_hamming+1, the smallest complete layout); any
+    pair within the radius must agree exactly on >= 1 band. Join per
+    band, verify true distance with JVM ``bit_count``. ``max_bucket``
+    drops hot (band, band_key) buckets before the self-join (the
+    standard guard — see minhash_lsh_pairs' docstring for the measured
+    blow-up it prevents and the recall trade)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    bands = bands or (max_hamming + 1)
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming}; need bands >= max_hamming + 1"
+        )
+    bands = min(bands, 64)
+    base, rem = divmod(64, bands)
+    widths = [base + 1] * rem + [base] * (bands - rem)
+    starts = [sum(widths[:b]) for b in range(bands)]
+    sigs = sigs.select(F.col(key_col).alias("k"), F.col(sig_col).alias("sig"))
+    banded = sigs.select(
+        "k",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), starts[b]).bitwiseAND(
+                        F.lit((1 << widths[b]) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    if max_bucket:
+        bucket_widths = banded.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        banded = banded.join(
+            bucket_widths.filter(F.col("_w") <= max_bucket).drop("_w"),
+            ["band", "band_key"],
+        )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -691,62 +768,9 @@ def simhash_near_pairs(
     on a cold one. Off by default so the complete-recall contract holds;
     corpus-scale callers should enable it.
     """
-    if not 0 <= max_hamming <= 63:
-        raise ValueError("max_hamming must be in [0, 63]")
-    bands = bands or (max_hamming + 1)
-    if bands < max_hamming + 1:
-        raise ValueError(
-            f"bands={bands} cannot guarantee recall at max_hamming="
-            f"{max_hamming}; need bands >= max_hamming + 1"
-        )
-    bands = min(bands, 64)
-    base, rem = divmod(64, bands)
-    widths = [base + 1] * rem + [base] * (bands - rem)
-    starts = [sum(widths[:b]) for b in range(bands)]
     sigs = df.select(
         F.col(key_col).alias("k"), simhash64(F.col(text_col)).alias("sig")
     )
-    banded = sigs.select(
-        "k",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sig"), starts[b]).bitwiseAND(
-                        F.lit((1 << widths[b]) - 1)
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
-    if max_bucket:
-        widths = banded.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("_w")
-        )
-        banded = banded.join(
-            widths.filter(F.col("_w") <= max_bucket).drop("_w"),
-            ["band", "band_key"],
-        )
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.k") < F.col("b.k")),
-        )
-        .select(
-            F.col("a.k").alias("key_a"),
-            F.col("b.k").alias("key_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["key_a", "key_b"])
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("key_a", "key_b", "hamming")
+    return hamming_band_pairs(
+        sigs, max_hamming=max_hamming, bands=bands, max_bucket=max_bucket
     )

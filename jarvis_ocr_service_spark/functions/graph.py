@@ -89,6 +89,22 @@ def pagerank_quantized(
         n_nodes = nodes.count()
     else:
         nodes.count()  # materialize the cache either way
+    if n_nodes == 0:
+        # empty edge table -> empty ranking (not a ZeroDivisionError);
+        # a crawl slice with no qualifying links is a normal input
+        nodes.unpersist()
+        from pyspark.sql import types as _T
+
+        node_type = e.schema["src"].dataType
+        return edges.sparkSession.createDataFrame(
+            [],
+            _T.StructType(
+                [
+                    _T.StructField("node", node_type, True),
+                    _T.StructField("rank_q", _T.LongType(), True),
+                ]
+            ),
+        )
     init = int(scale) // int(n_nodes)
     base = ((damp_den - damp_num) * init) // damp_den
 

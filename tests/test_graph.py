@@ -130,3 +130,12 @@ def test_fixpoint_cap_raises(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         pagerank_quantized(edges, until_fixpoint=True, max_iters=1)
+
+
+def test_empty_edge_table_yields_empty_ranking(spark):
+    """A crawl slice with no qualifying links is a normal input — empty
+    ranking, not ZeroDivisionError."""
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_quantized(edges, iters=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank_q"]
