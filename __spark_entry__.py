@@ -721,6 +721,67 @@ def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_phash(imgs).select("doc_id", "phash")
 
 
+def _q_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/temporal.asof_join — union + running-last,
+    ONE shuffle): every 5th event acts as a 'quote'; each remaining
+    event picks up the latest quote at-or-before its timestamp per
+    user. Oracle: DuckDB's native ASOF LEFT JOIN — an independent
+    engine's implementation of the same semantics."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.temporal import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    quotes = ev.filter(F.col("event_id") % 5 == 0).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("quote_id"),
+        F.round(F.col("value") * 100).cast("long").alias("quote_cents"),
+    )
+    trades = ev.filter(F.col("event_id") % 5 != 0).select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        trades, quotes, ts_col="ts", by=["user_id"],
+        right_cols=["quote_id", "quote_cents"],
+    )
+    # timestamps as epoch micros: raw timestamp columns arrive as
+    # datetime64[ns] (Spark) vs datetime64[us] (DuckDB) in pandas and
+    # value-compare spuriously; BIGINT micros is the repo convention
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("quote_ts_us"),
+        F.col("quote_id_r").alias("quote_id"),
+        F.col("quote_cents_r").alias("quote_cents"),
+    )
+
+
+def _q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (functions/temporal.range_join_bucketed —
+    intervals explode into 1h buckets, point joins its single bucket,
+    exact predicate filters inside): every 20th event opens a 2h
+    window; result = (event, window) memberships. Oracle: DuckDB's
+    BETWEEN theta-join."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.temporal import (
+        range_join_bucketed,
+    )
+
+    ev = _tbl(spark, sf_dir, "events")
+    mic = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # NTZ -> epoch us (session tz UTC)
+    pts = ev.select("event_id", mic("ts").alias("t"))
+    win = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("wid"),
+        mic("ts").alias("ws"),
+        (mic("ts") + F.lit(7_200_000_000)).alias("we"),
+    )
+    out = range_join_bucketed(
+        pts, win, "t", "ws", "we", bucket=3_600_000_000
+    )
+    return out.select("event_id", "wid")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/pii.py — pinned RE2-safe
     rule chain, pure codegen). The corpus is word-salad with no PII, so
@@ -1174,6 +1235,8 @@ QUERIES = {
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
     "image_phash": _q_image_phash,
+    "asof_quotes": _q_asof_quotes,
+    "range_join_events": _q_range_join_events,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
@@ -1576,6 +1639,28 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _duck_pii_scrub(),
         "contamination": _duck_contamination(13, 50),
         "image_phash": _duck_image_phash(60),
+        "asof_quotes": """
+            WITH q AS (SELECT user_id, ts, event_id AS quote_id,
+                              CAST(round(value * 100) AS BIGINT)
+                                AS quote_cents
+                       FROM events WHERE event_id % 5 = 0),
+            t AS (SELECT user_id, event_id, ts
+                  FROM events WHERE event_id % 5 != 0)
+            SELECT t.user_id, t.event_id,
+                   epoch_us(t.ts) AS ts_us,
+                   epoch_us(q.ts) AS quote_ts_us,
+                   q.quote_id, q.quote_cents
+            FROM t ASOF LEFT JOIN q
+              ON t.user_id = q.user_id AND t.ts >= q.ts
+        """,
+        "range_join_events": """
+            WITH w AS (SELECT event_id AS wid,
+                              epoch_us(ts) AS ws,
+                              epoch_us(ts) + 7200000000 AS we
+                       FROM events WHERE event_id % 20 = 0)
+            SELECT e.event_id, w.wid
+            FROM events e JOIN w ON epoch_us(e.ts) BETWEEN w.ws AND w.we
+        """,
         # gaps-and-islands mirror of session_window: sessions that TOUCH
         # merge (measured: an event at exactly last_ts + gap joins the
         # session — tests/test_windows.py pins it), so a NEW session

@@ -1,0 +1,135 @@
+"""Temporal joins Spark's DataFrame API lacks as primitives: as-of join
+and bucketed range join — the event-enrichment operators a crawl/event
+pipeline needs (attach the latest quote/config/state to each event;
+attach interval membership) expressed as compositions of existing
+DataFrame ops with scale-correct plans, per the brief's custom-operator
+ladder (composition first, Pandas UDF only if semantics demand).
+
+AS-OF JOIN (backward, inclusive): for each left row, the right row with
+the LARGEST right ts <= left ts within the same key group — DuckDB's
+``ASOF JOIN`` semantics, which is exactly what the oracle uses.
+
+Plan shape: the union-and-running-last trick. Tag both sides, union,
+one shuffle+sort on (keys, ts, side_tag), then a running
+``last(value, ignorenulls=True)`` over a growing frame — O(n log n)
+for the sort, O(n) for the frame, ONE shuffle total. The naive
+alternative (theta-join on ts <= ts + window per key) is a
+BroadcastNestedLoopJoin — quadratic per key. At equal timestamps the
+right row sorts BEFORE the left row (tag order), making the match
+inclusive. Right rows should be unique per (keys, ts) — with
+duplicates the LAST in (deterministic) column order wins; pinned but
+callers should dedup first for portable oracles.
+
+RANGE JOIN (point-in-interval): left.ts BETWEEN right.start AND
+right.end. Spark's planner turns the raw predicate into a
+nested-loop/cartesian; the scale path buckets the time axis: each
+interval explodes into the fixed-width buckets it covers, the point
+joins its single bucket (equi-join!), and the exact predicate filters
+inside the bucket. A (left, right) pair can only meet in the left
+point's own bucket, so no dedup is needed. Explode factor =
+interval_len / bucket_width — size the bucket near the typical
+interval length.
+
+Reference parity note: the reference service has no temporal joins;
+this is part of the training-data layer (SURVEY §2 "beyond the
+reference").
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by: Sequence[str] = (),
+    right_cols: Optional[List[str]] = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward-inclusive as-of join (module docstring). Returns every
+    left row + the matched right row's ``ts`` and ``right_cols`` (all
+    suffixed); nulls when no right row precedes the left row."""
+    by = list(by)
+    rc = right_cols or [c for c in right.columns if c not in by + [ts_col]]
+    left_cols = [c for c in left.columns if c not in by]
+
+    r_struct = F.struct(
+        F.col(ts_col), *[F.col(c) for c in rc]
+    )
+    r_type = right.select(r_struct.alias("_rv")).schema["_rv"].dataType
+    l_struct = F.struct(*[F.col(c) for c in left_cols])
+    l_type = left.select(l_struct.alias("_lv")).schema["_lv"].dataType
+
+    l2 = left.select(
+        *by,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_is_l"),
+        l_struct.alias("_lv"),
+        F.lit(None).cast(r_type).alias("_rv"),
+    )
+    r2 = right.select(
+        *by,
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_is_l"),
+        F.lit(None).cast(l_type).alias("_lv"),
+        r_struct.alias("_rv"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_ts", "_is_l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_is_l") == 1)
+    )
+    out_cols = (
+        [F.col(b) for b in by]
+        + [F.col(f"_lv.{c}").alias(c) for c in left_cols]
+        + [F.col(f"_m.{ts_col}").alias(f"{ts_col}{suffix}")]
+        + [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in rc]
+    )
+    return matched.select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Inner join on ``left.point BETWEEN right.start AND right.end``
+    (inclusive both ends; numeric LONG columns — convert timestamps
+    with ``F.unix_micros`` first). One equi-join on (keys, bucket); see
+    module docstring for why this beats the planner's nested loop."""
+    if bucket <= 0:
+        raise ValueError("bucket must be a positive width")
+    by = list(by)
+    lb = left.withColumn(
+        "_b", F.floor(F.col(point_col) / F.lit(int(bucket))).cast("long")
+    )
+    rb = (
+        right.withColumn(
+            "_bs", F.floor(F.col(start_col) / F.lit(int(bucket))).cast("long")
+        )
+        .withColumn(
+            "_be", F.floor(F.col(end_col) / F.lit(int(bucket))).cast("long")
+        )
+        .filter(F.col(start_col) <= F.col(end_col))
+        .withColumn("_b", F.explode(F.sequence(F.col("_bs"), F.col("_be"))))
+        .drop("_bs", "_be")
+    )
+    joined = lb.join(rb, by + ["_b"]).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("_b")

@@ -5,11 +5,16 @@ corpus actually runs.
           -> quality gate (lang-id + quality score + token bounds)
           -> exact dedup (content digest)
           -> near-dup collapse (MinHash-LSH, keep min url per cluster)
+          -> [optional] PII redaction (functions/pii)
+          -> [optional] benchmark decontamination (functions/contamination)
           -> clean corpus (url, text, lang_guess, quality, n_tokens)
 
 Shuffle budget: extraction is a pure map; the quality gate is map-side;
 exact dedup is one shuffle on a 16-byte digest; near-dup adds the banded
-self-join on already-deduped survivors (a small fraction of input).
+self-join on already-deduped survivors (a small fraction of input); PII
+redaction is a codegen projection and decontamination a broadcast
+anti-join — both run AFTER dedup so the expensive text passes touch the
+smallest surviving set.
 """
 
 from __future__ import annotations
@@ -27,8 +32,18 @@ def prepare_training_data(
     min_quality: float = 0.5,
     near_dup_threshold: Optional[float] = 0.85,
     pdf_mode: str = "parse",
+    redact_pii: bool = False,
+    benchmark: Optional[DataFrame] = None,
+    contamination_ngram: int = 13,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> deduplicated clean corpus."""
+    """pages(url, warc_ts, html, text, lang) -> deduplicated clean corpus.
+
+    ``redact_pii=True`` rewrites ``text`` through functions/pii's pinned
+    rule chain (a pure projection — off by default to preserve the
+    byte-identity contract with the extraction goldens). ``benchmark``
+    (a DataFrame with a ``text`` column) enables 13-gram decontamination:
+    corpus rows sharing any ``contamination_ngram``-token gram with it
+    are dropped (functions/contamination)."""
     from jarvis_ocr_service_spark.functions.dedup import (
         minhash_lsh_pairs,
         text_digest,
@@ -58,8 +73,29 @@ def prepare_training_data(
         .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
     )
 
+    def finish(corpus: DataFrame) -> DataFrame:
+        # decontaminate BEFORE redaction: collision grams must be
+        # matched against the original bytes, not [EMAIL]-rewritten ones
+        if benchmark is not None:
+            from jarvis_ocr_service_spark.functions.contamination import (
+                decontaminate,
+            )
+
+            corpus = decontaminate(
+                corpus,
+                benchmark,
+                text_col="text",
+                key_col="url",
+                n=contamination_ngram,
+            )
+        if redact_pii:
+            from jarvis_ocr_service_spark.functions.pii import redact_pii_col
+
+            corpus = corpus.withColumn("text", redact_pii_col(F.col("text")))
+        return corpus
+
     if not near_dup_threshold:
-        return exact
+        return finish(exact)
 
     # near-dup collapse: true connected components over the verified pair
     # graph (dup_clusters) — every transitive chain collapses to its
@@ -85,6 +121,6 @@ def prepare_training_data(
         .select(F.col("key").alias("url"))
     )
     return attach_cached(
-        exact.join(losers, "url", "left_anti"),
+        finish(exact.join(losers, "url", "left_anti")),
         [exact] + carried_cached(pairs) + carried_cached(clusters),
     )

@@ -53,3 +53,28 @@ def test_prepare_releases_cached_blocks(spark, tmp_path):
     assert n >= 1
     assert jsc.getPersistentRDDs().size() == before  # all released
     assert release_cached(corpus) == 0  # idempotent
+
+
+def test_prepare_hygiene_stages(spark):
+    """Wiring of the optional hygiene tail: benchmark decontamination
+    drops exactly the gram-colliding survivors; redact_pii is a no-op on
+    a PII-free corpus (the rules themselves are pinned in test_pii)."""
+    pages = synthesize_pages(spark, 60, num_partitions=2)
+    base = prepare_training_data(pages, near_dup_threshold=None)
+    rows = base.orderBy("url").collect()
+    victim = next(r for r in rows if r.n_tokens >= 13)
+
+    bench = spark.createDataFrame([(victim.text,)], "text string")
+    cleaned = prepare_training_data(
+        pages, near_dup_threshold=None, benchmark=bench, redact_pii=True
+    )
+    got = cleaned.orderBy("url").collect()
+    got_urls = {r.url for r in got}
+    assert victim.url not in got_urls  # gram collision -> dropped
+    # survivors: same rows as base minus the contaminated one(s), and the
+    # PII pass left PII-free text byte-identical
+    base_by_url = {r.url: r.text for r in rows}
+    for r in got:
+        assert r.text == base_by_url[r.url]
+    dropped = {r.url for r in rows} - got_urls
+    assert victim.url in dropped and len(dropped) >= 1

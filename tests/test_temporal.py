@@ -1,0 +1,109 @@
+"""As-of join + bucketed range join: brute-force parity, DuckDB ASOF
+parity, plan shape (one shuffle / equi-join, never a nested loop)."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from jarvis_ocr_service_spark.functions.temporal import (
+    asof_join,
+    range_join_bucketed,
+)
+
+LEFT = [(1, 2), (1, 5), (1, 7), (2, 9), (3, 4)]          # (k, ts)
+RIGHT = [(1, 1, 10), (1, 5, 20), (1, 6, 30), (2, 100, 40)]  # (k, ts, v)
+
+
+def brute_asof(left, right):
+    out = []
+    for k, ts in left:
+        cand = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        m = max(cand) if cand else (None, None)
+        out.append((k, ts, m[0], m[1]))
+    return sorted(out)
+
+
+def test_asof_matches_brute_force_and_duckdb(spark):
+    l = spark.createDataFrame(LEFT, "k long, ts long")
+    r = spark.createDataFrame(RIGHT, "k long, ts long, v long")
+    got = sorted(
+        (x.k, x.ts, x.ts_r, x.v_r)
+        for x in asof_join(l, r, ts_col="ts", by=["k"]).collect()
+    )
+    assert got == brute_asof(LEFT, RIGHT)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k BIGINT, ts BIGINT)")
+    con.execute("CREATE TABLE r(k BIGINT, ts BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?)", LEFT)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", RIGHT)
+    duck = sorted(
+        tuple(row)
+        for row in con.execute(
+            "SELECT l.k, l.ts, r.ts, r.v FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    )
+    assert got == duck  # equal-ts inclusive, per-key isolation, null miss
+
+
+def test_asof_inclusive_tie_and_missing_key(spark):
+    l = spark.createDataFrame([(1, 5), (9, 5)], "k long, ts long")
+    r = spark.createDataFrame([(1, 5, 77)], "k long, ts long, v long")
+    got = {(x.k): (x.ts_r, x.v_r) for x in asof_join(l, r, by=["k"]).collect()}
+    assert got[1] == (5, 77)      # equal ts matches (inclusive)
+    assert got[9] == (None, None)  # key with no right rows -> nulls
+
+
+def test_asof_plan_single_shuffle_no_nested_loop(spark):
+    l = spark.createDataFrame(LEFT, "k long, ts long")
+    r = spark.createDataFrame(RIGHT, "k long, ts long, v long")
+    plan = (
+        asof_join(l, r, by=["k"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # union sides feed ONE window shuffle
+
+
+def test_range_join_matches_predicate_semantics(spark):
+    import random
+
+    rnd = random.Random(42)
+    points = [(i, rnd.randrange(0, 1000)) for i in range(200)]
+    intervals = [
+        (j, s, s + rnd.randrange(0, 120))
+        for j, s in ((j, rnd.randrange(0, 950)) for j in range(30))
+    ]
+    l = spark.createDataFrame(points, "pid long, t long")
+    r = spark.createDataFrame(intervals, "iid long, s long, e long")
+    for bucket in (7, 64, 1000):
+        got = sorted(
+            (x.pid, x.iid)
+            for x in range_join_bucketed(l, r, "t", "s", "e", bucket).collect()
+        )
+        want = sorted(
+            (pid, iid)
+            for pid, t in points
+            for iid, s, e in intervals
+            if s <= t <= e
+        )
+        assert got == want, bucket
+    assert len(want) > 0
+
+
+def test_range_join_is_equi_join(spark):
+    l = spark.createDataFrame([(1, 10)], "pid long, t long")
+    r = spark.createDataFrame([(1, 5, 15)], "iid long, s long, e long")
+    plan = (
+        range_join_bucketed(l, r, "t", "s", "e", 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    with pytest.raises(ValueError):
+        range_join_bucketed(l, r, "t", "s", "e", 0)
