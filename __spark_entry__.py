@@ -721,6 +721,53 @@ def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_phash(imgs).select("doc_id", "phash")
 
 
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (functions/sampling.hash_sample):
+    salted-md5 signed-int64 compare, exact in any engine; the sample is
+    reproducible and nested across rates."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.sampling import hash_sample
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.2, key_col="doc_id", salt="corpus-v1").select(
+        "doc_id"
+    )
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (sampling.hash_split):
+    disjoint intervals of the hash ring, pinned sorted-label order."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.sampling import hash_split
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split-v1"
+    ).select("doc_id", "split")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling (sampling.stratified_take): at most
+    25 docs per lang in hash order — the data-mixing primitive, stable
+    under corpus growth."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.sampling import stratified_take
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return stratified_take(
+        docs, quota=25, strata_col="lang", key_col="doc_id", salt="mix-v1"
+    ).select("doc_id", "lang")
+
+
+def _q_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 16-way shard assignment (sampling.hash_bucket)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.sampling import hash_bucket
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return hash_bucket(docs, 16, salt="shard-v1").select("doc_id", "bucket")
+
+
 def _q_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (functions/temporal.asof_join — union + running-last,
     ONE shuffle): every 5th event acts as a 'quote'; each remaining
@@ -1237,6 +1284,10 @@ QUERIES = {
     "image_phash": _q_image_phash,
     "asof_quotes": _q_asof_quotes,
     "range_join_events": _q_range_join_events,
+    "hash_sample": _q_hash_sample,
+    "hash_split": _q_hash_split,
+    "stratified_sample": _q_stratified_sample,
+    "hash_buckets": _q_hash_buckets,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
@@ -1653,6 +1704,12 @@ def oracle_sql() -> dict[str, str]:
             FROM t ASOF LEFT JOIN q
               ON t.user_id = q.user_id AND t.ts >= q.ts
         """,
+        "hash_sample": _duck_hash_sample(0.2, "corpus-v1"),
+        "hash_split": _duck_hash_split(
+            {"train": 0.8, "val": 0.1, "test": 0.1}, "split-v1"
+        ),
+        "stratified_sample": _duck_stratified_sample(25, "mix-v1"),
+        "hash_buckets": _duck_hash_buckets(16, "shard-v1"),
         "range_join_events": """
             WITH w AS (SELECT event_id AS wid,
                               epoch_us(ts) AS ws,
@@ -1959,6 +2016,73 @@ def _duck_contamination(n: int = 13, bench_mod: int = 50) -> str:
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def _duck_hash_sample(rate: float, salt: str) -> str:
+    """Mirror of sampling.hash_sample via the module's own DuckDB hash
+    mirror (shifted_hash_duck_sql) + the identical threshold."""
+    from jarvis_ocr_service_spark.functions.sampling import (
+        _threshold_signed,
+        shifted_hash_duck_sql,
+    )
+
+    h = shifted_hash_duck_sql("doc_id", salt)
+    return f"""
+        SELECT doc_id FROM documents
+        WHERE ({h}) < {_threshold_signed(rate)}
+    """
+
+
+def _duck_hash_split(weights: dict, salt: str) -> str:
+    """Mirror of sampling.hash_split: same sorted-label interval chain,
+    same thresholds."""
+    from jarvis_ocr_service_spark.functions.sampling import (
+        _threshold_signed,
+        shifted_hash_duck_sql,
+    )
+
+    h = shifted_hash_duck_sql("doc_id", salt)
+    labels = sorted(weights)
+    acc = 0.0
+    whens = []
+    for lab in labels[:-1]:
+        acc += weights[lab]
+        whens.append(f"WHEN ({h}) < {_threshold_signed(acc)} THEN '{lab}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{labels[-1]}' END"
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+def _duck_stratified_sample(quota: int, salt: str) -> str:
+    """Mirror of sampling.stratified_take: row_number per stratum over
+    (shifted hash, key)."""
+    from jarvis_ocr_service_spark.functions.sampling import (
+        shifted_hash_duck_sql,
+    )
+
+    h = shifted_hash_duck_sql("doc_id", salt)
+    return f"""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY ({h}), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= {quota}
+    """
+
+
+def _duck_hash_buckets(n: int, salt: str) -> str:
+    """Mirror of sampling.hash_bucket (pmod: DuckDB % keeps the
+    dividend's sign, so wrap to non-negative)."""
+    from jarvis_ocr_service_spark.functions.sampling import (
+        shifted_hash_duck_sql,
+    )
+
+    h = shifted_hash_duck_sql("doc_id", salt)
+    return f"""
+        SELECT doc_id,
+               CAST(((({h}) % {n}) + {n}) % {n} AS BIGINT) AS bucket
+        FROM documents
     """
 
 

@@ -1,0 +1,144 @@
+"""Deterministic sampling, splitting, and data-mixing primitives.
+
+Training-data pipelines never want `rand()`: a sample must be
+REPRODUCIBLE (same corpus -> same sample on any cluster layout, any
+partition count, any retry) and CONSISTENT (a document's fate depends
+only on its key, so incremental batches agree with backfills). The
+standard tool is hash-based sampling: map a stable key through a salted
+md5, treat the first 8 bytes as a uniform uint64, and compare against a
+rate threshold. Everything here is pure Column expressions (codegen, no
+shuffle except where ranking is the semantics) with exact DuckDB
+mirrors — md5 is bit-identical in any engine.
+
+Ops:
+  * hash_sample      — Bernoulli p-sample, partition-independent
+  * hash_split       — disjoint train/val/test assignment (one pass)
+  * stratified_take  — top-k per stratum in hash order (data mixing /
+                       per-language quotas); ONE shuffle on the stratum
+  * hash_bucket      — stable n-way shard id (the write-partitioning
+                       primitive)
+
+The uint64 trick: DuckDB and Spark both lack an unsigned 64-bit type,
+so the comparison uses the SIGNED reinterpretation of the top half of
+md5 with thresholds mapped through the same reinterpretation — integer
+compare, zero float involvement, exact in both engines.
+
+Reference parity note: the reference service has no sampling; this is
+part of the training-data layer (SURVEY §2 "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_U64 = 1 << 64
+
+
+def _threshold_signed(rate: float) -> int:
+    """rate in [0,1] -> signed-int64 threshold t such that
+    P(h64 wrapped-signed < t-ish) == rate under the unsigned order.
+    We compare on the SIGNED value shifted by 2^63: signed(h) compares
+    like unsigned(h) after adding 2^63 with wraparound, so the
+    threshold is unsigned_threshold - 2^63."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return int(rate * _U64) - (1 << 63)
+
+
+def _shifted(col, salt: str):
+    """Hash mapped to signed int64 whose ORDER equals the unsigned
+    order: u64 - 2^63 with int64 wraparound (hi XOR the sign bit)."""
+    h = F.md5(F.encode(F.concat(F.lit(f"{salt}#"), col.cast("string")), "UTF-8"))
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # (hi - 2^31) * 2^32 + lo  ==  u64 - 2^63, computed without overflow
+    return (hi - F.lit(1 << 31)) * F.lit(1 << 32) + lo
+
+
+def shifted_hash_duck_sql(expr: str, salt: str) -> str:
+    """EXACT DuckDB mirror of the order-preserving signed hash (DuckDB
+    parses '0x…' string casts; each 8-hex half fits BIGINT)."""
+    h = f"md5('{salt}' || '#' || CAST({expr} AS VARCHAR))"
+    hi = f"CAST('0x' || substring({h}, 1, 8) AS BIGINT)"
+    lo = f"CAST('0x' || substring({h}, 9, 8) AS BIGINT)"
+    return f"(({hi}) - 2147483648) * 4294967296 + ({lo})"
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keeps exactly the rows whose
+    salted key-hash falls under the rate threshold. Same key + salt ->
+    same fate, everywhere, forever. Pure filter — no shuffle."""
+    return df.filter(_shifted(F.col(key_col), salt) < F.lit(_threshold_signed(rate)))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint deterministic split (train/val/test): each row gets the
+    label of the interval its hash lands in; weights must sum to ~1.
+    Labels assign in sorted-label order (pinned). One projection."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1 (got {total})")
+    h = _shifted(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    labels = sorted(weights)
+    for lab in labels[:-1]:
+        acc += weights[lab]
+        cond = h < F.lit(_threshold_signed(acc))
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    expr = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_take(
+    df: DataFrame,
+    quota: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """At most ``quota`` rows per stratum, chosen in hash order — the
+    per-language / per-domain mixing primitive: deterministic, stable
+    under corpus growth (a new document only displaces the current
+    hash-maximum, never reshuffles the whole stratum).
+
+    ONE shuffle on the stratum; the rank sorts (hash, key) so ties are
+    impossible with distinct keys."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _shifted(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def hash_bucket(
+    df: DataFrame,
+    n_buckets: int,
+    key_col: str = "doc_id",
+    salt: str = "bucket",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Stable n-way shard id in [0, n_buckets) — the deterministic
+    write-partitioning / A-B-assignment primitive. pmod keeps it
+    non-negative over the signed hash."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    return df.withColumn(
+        out_col, F.pmod(_shifted(F.col(key_col), salt), F.lit(n_buckets)).cast("long")
+    )

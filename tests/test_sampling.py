@@ -1,0 +1,109 @@
+"""Deterministic sampling: DuckDB hash parity, rate accuracy, split
+disjointness, stratified stability, codegen-only plans."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from jarvis_ocr_service_spark.functions.sampling import (
+    _shifted,
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    shifted_hash_duck_sql,
+    stratified_take,
+)
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(N).selectExpr("id AS doc_id")
+
+
+def test_shifted_hash_matches_duckdb(spark, ids):
+    got = {
+        r.doc_id: r.h
+        for r in ids.select(
+            "doc_id", _shifted(F.col("doc_id"), "s1").alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT i, {shifted_hash_duck_sql('i', 's1')} FROM "
+        f"(SELECT unnest(range({N})) AS i)"
+    ).fetchall()
+    assert len(rows) == N
+    for i, h in rows:
+        assert got[i] == h, i
+
+
+def test_hash_sample_rate_and_determinism(spark, ids):
+    kept = hash_sample(ids, 0.25, salt="r4")
+    ks = sorted(r.doc_id for r in kept.collect())
+    assert ks == sorted(r.doc_id for r in hash_sample(ids, 0.25, salt="r4").collect())
+    assert abs(len(ks) / N - 0.25) < 0.03  # uniform hash, tight at 4000
+    # monotone nesting: a 10% sample is a subset of the 25% sample
+    k10 = set(r.doc_id for r in hash_sample(ids, 0.10, salt="r4").collect())
+    assert k10 <= set(ks)
+    # different salt -> a (near-)independent sample
+    other = set(r.doc_id for r in hash_sample(ids, 0.25, salt="other").collect())
+    assert other != set(ks)
+
+
+def test_hash_split_disjoint_complete_and_sized(spark, ids):
+    out = hash_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    assert len(out) == N
+    counts = {}
+    for r in out:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / N - 0.8) < 0.03
+    assert abs(counts["val"] / N - 0.1) < 0.02
+    with pytest.raises(ValueError):
+        hash_split(ids, {"a": 0.5, "b": 0.3})
+
+
+def test_stratified_take_quota_and_growth_stability(spark):
+    rows = [(i, f"lang{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    taken = stratified_take(df, quota=20, strata_col="lang")
+    got = {}
+    for r in taken.collect():
+        got.setdefault(r.lang, set()).add(r.doc_id)
+    assert all(len(v) == 20 for v in got.values())
+    # growth stability: adding docs only displaces hash-maxima — the
+    # new selection differs from the old by AT MOST the added docs
+    bigger = spark.createDataFrame(
+        rows + [(1000 + i, f"lang{i % 3}") for i in range(30)],
+        "doc_id long, lang string",
+    )
+    got2 = {}
+    for r in stratified_take(bigger, quota=20, strata_col="lang").collect():
+        got2.setdefault(r.lang, set()).add(r.doc_id)
+    for lang in got:
+        assert len(got2[lang]) == 20
+        assert got[lang] >= got2[lang] - {d for d in got2[lang] if d >= 1000}
+
+
+def test_hash_bucket_range_and_parity(spark, ids):
+    out = hash_bucket(ids, 16).collect()
+    assert all(0 <= r.bucket < 16 for r in out)
+    # all buckets populated and roughly balanced at N=4000
+    counts = {}
+    for r in out:
+        counts[r.bucket] = counts.get(r.bucket, 0) + 1
+    assert len(counts) == 16
+    assert max(counts.values()) < 2.0 * min(counts.values())
+    with pytest.raises(ValueError):
+        hash_bucket(ids, 0)
+
+
+def test_sample_plan_is_codegen_filter(spark, ids):
+    plan = (
+        hash_sample(ids, 0.5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
