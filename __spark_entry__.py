@@ -721,6 +721,20 @@ def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_phash(imgs).select("doc_id", "phash")
 
 
+def _q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (functions/packing.assign_packs): two-phase
+    parallel prefix sum (range partitions + per-partition totals +
+    broadcast offsets), value-exact vs DuckDB's single global window —
+    the oracle literally IS the naive form the implementation avoids."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.packing import assign_packs
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return assign_packs(
+        docs, 5000, token_col="n_chars", order_col="doc_id"
+    ).select("doc_id", "pack_id", "pack_offset")
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli sample (functions/sampling.hash_sample):
     salted-md5 signed-int64 compare, exact in any engine; the sample is
@@ -1288,6 +1302,7 @@ QUERIES = {
     "hash_split": _q_hash_split,
     "stratified_sample": _q_stratified_sample,
     "hash_buckets": _q_hash_buckets,
+    "pack_assign": _q_pack_assign,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
@@ -1703,6 +1718,16 @@ def oracle_sql() -> dict[str, str]:
                    q.quote_id, q.quote_cents
             FROM t ASOF LEFT JOIN q
               ON t.user_id = q.user_id AND t.ts >= q.ts
+        """,
+        "pack_assign": """
+            WITH c AS (SELECT doc_id, n_chars,
+                              CAST(sum(n_chars) OVER (ORDER BY doc_id)
+                                   AS BIGINT) AS cum
+                       FROM documents)
+            SELECT doc_id,
+                   CAST((cum - n_chars) // 5000 AS BIGINT) AS pack_id,
+                   CAST((cum - n_chars) % 5000 AS BIGINT) AS pack_offset
+            FROM c
         """,
         "hash_sample": _duck_hash_sample(0.2, "corpus-v1"),
         "hash_split": _duck_hash_split(

@@ -1,0 +1,110 @@
+"""Sequence packing: assign documents to fixed-token-budget packs — the
+pretraining step that concatenates a corpus in a deterministic order
+and cuts it into max_tokens windows (documents may straddle a cut; the
+pack id of a document is where its FIRST token lands — pinned rule:
+``pack_id = (cumsum_before_doc) // max_tokens``).
+
+The interesting part is the GLOBAL CUMULATIVE SUM at scale. The naive
+form — ``sum() over (order by key)`` with no partition key — collapses
+the whole corpus into ONE task (the classic window scale-killer). The
+scale-correct shape is the textbook two-phase prefix sum:
+
+  1. range-repartition by the order key (RangePartitioning assigns
+     ascending key ranges to ascending partition ids);
+  2. per-partition totals: one tiny aggregate (P rows) collected to the
+     driver, turned into exclusive prefix offsets;
+  3. within-partition running sum (window partitioned BY PARTITION ID —
+     parallel across partitions) + the broadcast offset.
+
+Identical result to the global window (the oracle IS the global
+window, in DuckDB), wall-clock parallel across the cluster.
+
+Reference parity note: the reference service has no packing; this is
+part of the training-data layer (SURVEY §2 "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """df + ``out_col`` = inclusive running sum of ``value_col`` in
+    ascending ``order_col`` order (order values must be distinct —
+    they define the concatenation order). Two-phase prefix sum; see
+    module docstring for why this is NOT a bare global window."""
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()  # totals + cumsum both read it
+    totals = {
+        r._pid: r.total
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("total"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    out = (
+        ranged.withColumn("_local", F.sum(value_col).over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+    return attach_cached(out, [ranged])
+
+
+def assign_packs(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """df + ``pack_id`` + ``pack_offset``: concatenate documents in
+    ``order_col`` order and cut every ``max_tokens`` tokens; a document
+    belongs to the pack where its first token lands, at offset
+    ``pack_offset`` inside that pack. Documents longer than
+    ``max_tokens`` straddle several cuts (standard pretraining packing
+    — the trainer splits them); downstream can filter or re-chunk."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    cum = with_global_cumsum(
+        df, order_col, token_col, out_col="_cum", num_partitions=num_partitions
+    )
+    from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
+
+    out = (
+        cum.withColumn(
+            "_start", (F.col("_cum") - F.col(token_col)).cast("long")
+        )
+        .withColumn("pack_id", F.expr(f"_start div {int(max_tokens)}"))
+        .withColumn(
+            "pack_offset",
+            F.pmod(F.col("_start"), F.lit(int(max_tokens))).cast("long"),
+        )
+        .drop("_cum", "_start")
+    )
+    return attach_cached(out, carried_cached(cum))
