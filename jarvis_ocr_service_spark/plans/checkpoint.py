@@ -104,6 +104,8 @@ def run_checkpointed(
     files_per_batch: int = 4,
     max_batches: Optional[int] = None,
     dedup_against_committed: bool = False,
+    digest_table: Optional[str] = None,
+    digest_buckets: int = 16,
 ) -> dict:
     """Process the input table batch-by-batch with manifest commits.
 
@@ -121,10 +123,21 @@ def run_checkpointed(
     same overwrite-then-commit protocol as the data (orphans from a
     crash are overwritten on re-run; only committed ids are read back),
     and the underscore prefix keeps digest files invisible to readers of
-    ``output_path``. Scale note: the anti-join re-shuffles the committed
-    digest set (16 B/row) each batch; at 10^12 rows the digest store
-    should be a bucketed table on digest so the join co-locates —
-    same-shaped plan, no code change at the call site.
+    ``output_path``.
+
+    Scale: the default parquet-dir digest store re-shuffles the whole
+    committed digest set (16 B/row) on every batch's anti-join. Passing
+    ``digest_table`` (a saveAsTable name) switches the store to a table
+    BUCKETED on the digest (``digest_buckets``) and partitioned by
+    batch_id: the anti-join then shuffles only the (small) incoming
+    batch into the store's bucketing while the store side reads
+    in-place — the plan the 10^12-row corpus needs (asserted by
+    test_checkpoint's plan gate). Commit protocol, table form: appends
+    into a batch_id partition; a crashed attempt leaves orphan rows in
+    an UNCOMMITTED partition that is never read, and after a successful
+    re-run the duplicate digest rows in that partition are harmless to
+    anti-join semantics (membership, not counts). Dir form overwrites
+    per batch as before. Only manifest-committed ids are ever read.
 
     Resume safety: a committed batch_id is only skipped when the *planned*
     file list for that batch_id equals the manifest's recorded ``files``.
@@ -164,7 +177,7 @@ def run_checkpointed(
             break
 
         batch_df = spark.read.parquet(*batch_files)
-        if dedup_against_committed:
+        if dedup_against_committed or digest_table is not None:
             digest = F.md5(F.coalesce(F.col("html"), F.lit(b"")))
             keyed = batch_df.withColumn("_digest", digest)
             cols = batch_df.columns
@@ -176,19 +189,40 @@ def run_checkpointed(
                 .select("_digest", "_row.*")
             )
             committed_ids = sorted(committed_so_far & set(range(batch_id)))
-            if committed_ids:
-                seen = spark.read.parquet(
-                    *[
-                        f"{output_path}/_digests/batch_id={i}"
-                        for i in committed_ids
-                    ]
+            if digest_table is not None:
+                # bucketed store: the anti-join shuffles only the batch
+                # into the store's bucketing; the store reads in-place
+                if committed_ids:
+                    seen = (
+                        spark.table(digest_table)
+                        .filter(F.col("batch_id").isin(committed_ids))
+                        .select("_digest")
+                    )
+                    keyed = keyed.join(seen, "_digest", "left_anti")
+                (
+                    keyed.select("_digest")
+                    .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                    .write.mode("append")
+                    .partitionBy("batch_id")
+                    .bucketBy(int(digest_buckets), "_digest")
+                    .sortBy("_digest")
+                    .format("parquet")
+                    .saveAsTable(digest_table)
                 )
-                keyed = keyed.join(seen, "_digest", "left_anti")
-            # one computation of the survivors feeds both the digest
-            # write and the pipeline (write is the materialization)
-            keyed.select("_digest").write.mode("overwrite").parquet(
-                f"{output_path}/_digests/batch_id={batch_id}"
-            )
+            else:
+                if committed_ids:
+                    seen = spark.read.parquet(
+                        *[
+                            f"{output_path}/_digests/batch_id={i}"
+                            for i in committed_ids
+                        ]
+                    )
+                    keyed = keyed.join(seen, "_digest", "left_anti")
+                # one computation of the survivors feeds both the digest
+                # write and the pipeline (write is the materialization)
+                keyed.select("_digest").write.mode("overwrite").parquet(
+                    f"{output_path}/_digests/batch_id={batch_id}"
+                )
             batch_df = keyed.drop("_digest")
         results = pipeline_fn(batch_df)
         batch_out = f"{output_path}/batch_id={batch_id}"
