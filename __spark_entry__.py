@@ -721,6 +721,27 @@ def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_phash(imgs).select("doc_id", "phash")
 
 
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (functions/vocab.top_tokens): exact global
+    token counts, map-side partial agg, TakeOrdered top-k."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import top_tokens
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return top_tokens(docs, 50)
+
+
+def _q_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair counts (functions/vocab.token_pair_counts) —
+    the BPE-merge statistic at word granularity; min_count bounds the
+    result to the head of the pair distribution."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import token_pair_counts
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return token_pair_counts(docs, min_count=100)
+
+
 def _q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (functions/packing.assign_packs): two-phase
     parallel prefix sum (range partitions + per-partition totals +
@@ -1303,6 +1324,8 @@ QUERIES = {
     "stratified_sample": _q_stratified_sample,
     "hash_buckets": _q_hash_buckets,
     "pack_assign": _q_pack_assign,
+    "top_tokens": _q_top_tokens,
+    "token_pairs": _q_token_pairs,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
@@ -1719,6 +1742,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t ASOF LEFT JOIN q
               ON t.user_id = q.user_id AND t.ts >= q.ts
         """,
+        "top_tokens": _duck_top_tokens(50),
+        "token_pairs": _duck_token_pairs(100),
         "pack_assign": """
             WITH c AS (SELECT doc_id, n_chars,
                               CAST(sum(n_chars) OVER (ORDER BY doc_id)
@@ -2041,6 +2066,30 @@ def _duck_contamination(n: int = 13, bench_mod: int = 50) -> str:
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def _duck_top_tokens(k: int) -> str:
+    """Mirror of vocab.top_tokens: exact counts, (n DESC, token) order."""
+    toks = _duck_py_tokens("lower(text)")
+    return f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({toks}) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT {k}
+    """
+
+
+def _duck_token_pairs(min_count: int) -> str:
+    """Mirror of vocab.token_pair_counts: adjacent pairs via list_zip of
+    the token list with its own tail (unnamed struct -> numeric index)."""
+    toks = _duck_py_tokens("lower(text)")
+    return f"""
+        WITH t AS (SELECT {toks} AS l FROM documents),
+        ex AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+               FROM t)
+        SELECT p[1] AS tok_a, p[2] AS tok_b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2 HAVING count(*) >= {min_count}
     """
 
 
