@@ -721,6 +721,27 @@ def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_phash(imgs).select("doc_id", "phash")
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus composition report (functions/report):
+    exact integer aggregates, one partial-agg shuffle."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.report import corpus_report
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return corpus_report(docs, group_col="lang", size_col="n_chars")
+
+
+def _q_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language pinned-log2 size histogram (functions/report):
+    bucket boundaries computed in exact integer arithmetic both
+    engines (binary string length, no floating log)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.report import size_histogram
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return size_histogram(docs, group_col="lang", size_col="n_chars")
+
+
 def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head (functions/vocab.top_tokens): exact global
     token counts, map-side partial agg, TakeOrdered top-k."""
@@ -1326,6 +1347,8 @@ QUERIES = {
     "pack_assign": _q_pack_assign,
     "top_tokens": _q_top_tokens,
     "token_pairs": _q_token_pairs,
+    "corpus_report": _q_corpus_report,
+    "size_histogram": _q_size_histogram,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
@@ -1742,6 +1765,14 @@ def oracle_sql() -> dict[str, str]:
             FROM t ASOF LEFT JOIN q
               ON t.user_id = q.user_id AND t.ts >= q.ts
         """,
+        "corpus_report": """
+            SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_size,
+                   CAST(min(n_chars) AS BIGINT) AS min_size,
+                   CAST(max(n_chars) AS BIGINT) AS max_size
+            FROM documents GROUP BY lang
+        """,
+        "size_histogram": _duck_size_histogram(),
         "top_tokens": _duck_top_tokens(50),
         "token_pairs": _duck_token_pairs(100),
         "pack_assign": """
@@ -2066,6 +2097,21 @@ def _duck_contamination(n: int = 13, bench_mod: int = 50) -> str:
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def _duck_size_histogram() -> str:
+    """Mirror of report.size_histogram via the module's own bucket
+    mirror (size_bucket_duck_sql) — exact integer log2 buckets."""
+    from jarvis_ocr_service_spark.functions.report import (
+        size_bucket_duck_sql,
+    )
+
+    b = size_bucket_duck_sql("n_chars")
+    return f"""
+        SELECT lang AS grp, {b} AS size_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
     """
 
 

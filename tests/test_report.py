@@ -1,0 +1,36 @@
+"""Corpus report: exact aggregates, pinned log2 buckets, DuckDB parity."""
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from jarvis_ocr_service_spark.functions.report import (
+    corpus_report,
+    size_bucket_col,
+    size_bucket_duck_sql,
+    size_histogram,
+)
+
+
+def test_size_bucket_boundaries(spark):
+    vals = [0, 1, 2, 3, 4, 7, 8, 1023, 1024, 1 << 40]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = {r.n: r.b for r in df.select("n", size_bucket_col(F.col("n")).alias("b")).collect()}
+    want = {v: max(v, 1).bit_length() - 1 for v in vals}
+    assert got == want
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT n, {size_bucket_duck_sql('n')} FROM (SELECT unnest(?::BIGINT[]) AS n)",
+        [vals],
+    ).fetchall()
+    assert {n: b for n, b in rows} == want
+
+
+def test_corpus_report_and_histogram(spark):
+    rows = [("en", 10), ("en", 1000), ("fr", 7), ("fr", 9), ("fr", 8)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    rep = {r.grp: (r.n_docs, r.total_size, r.min_size, r.max_size)
+           for r in corpus_report(df).collect()}
+    assert rep == {"en": (2, 1010, 10, 1000), "fr": (3, 24, 7, 9)}
+    hist = {(r.grp, r.size_bucket): r.n_docs for r in size_histogram(df).collect()}
+    assert hist == {("en", 3): 1, ("en", 9): 1, ("fr", 2): 1, ("fr", 3): 2}
