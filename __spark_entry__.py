@@ -1311,6 +1311,24 @@ QUERIES = {
     "events_by_hour": _q_events_by_hour,
     "events_tumbling_5min": _q_events_tumbling_5min,
     "top1_per_user": _q_top1_per_user,
+    # Round-4 additions next — never driver-checked yet, so they come
+    # before the queries with green CORRECTNESS_r03 rows.
+    "bm25_topk": _q_bm25_topk,
+    "pagerank_dangling": _q_pagerank_dangling,
+    "pii_scrub": _q_pii_scrub,
+    "contamination": _q_contamination,
+    "image_phash": _q_image_phash,
+    "asof_quotes": _q_asof_quotes,
+    "range_join_events": _q_range_join_events,
+    "hash_sample": _q_hash_sample,
+    "hash_split": _q_hash_split,
+    "stratified_sample": _q_stratified_sample,
+    "hash_buckets": _q_hash_buckets,
+    "pack_assign": _q_pack_assign,
+    "top_tokens": _q_top_tokens,
+    "token_pairs": _q_token_pairs,
+    "corpus_report": _q_corpus_report,
+    "size_histogram": _q_size_histogram,
     "flagship_extract": _q_flagship,
     "extract_boilerplate_strip": _q_extract_boilerplate_strip,
     "normalize_text": _q_normalize,
@@ -1334,26 +1352,10 @@ QUERIES = {
     "repetition_stats": _q_repetition_stats,
     "winnow_pairs": _q_winnow_pairs,
     "tfidf_topk": _q_tfidf_topk,
-    "bm25_topk": _q_bm25_topk,
-    "pii_scrub": _q_pii_scrub,
-    "contamination": _q_contamination,
-    "image_phash": _q_image_phash,
-    "asof_quotes": _q_asof_quotes,
-    "range_join_events": _q_range_join_events,
-    "hash_sample": _q_hash_sample,
-    "hash_split": _q_hash_split,
-    "stratified_sample": _q_stratified_sample,
-    "hash_buckets": _q_hash_buckets,
-    "pack_assign": _q_pack_assign,
-    "top_tokens": _q_top_tokens,
-    "token_pairs": _q_token_pairs,
-    "corpus_report": _q_corpus_report,
-    "size_histogram": _q_size_histogram,
     "event_sessions": _q_event_sessions,
     "prepare_gate": _q_prepare_gate,
     "page_outlinks": _q_page_outlinks,
     "pagerank": _q_pagerank,
-    "pagerank_dangling": _q_pagerank_dangling,
     # training-data ops
     "dedup_exact": _q_dedup_exact,
     "minhash_signature": _q_minhash_signature,
