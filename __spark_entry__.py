@@ -721,6 +721,43 @@ def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_phash(imgs).select("doc_id", "phash")
 
 
+def _q_cross_corpus_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest (dedup.minhash_lsh_pairs_between):
+    a batch of 3/4-truncated twins vs the corpus — every twin must pair
+    with its source (j ~ 0.75). bands=16/r=1 makes LSH recall 1-3e-9 at
+    the 0.5 threshold, so the all-pairs exact-Jaccard oracle matches;
+    verification is exact either way."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    twins = docs.filter(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                toks,
+                1,
+                F.greatest(
+                    F.lit(1), F.floor(F.size(toks) * 3 / 4).cast("int")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return minhash_lsh_pairs_between(
+        twins,
+        docs,
+        num_hashes=16,
+        bands=16,
+        k=4,
+        verify_threshold=0.5,
+        max_tokens=100,
+    )
+
+
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus composition report (functions/report):
     exact integer aggregates, one partial-agg shuffle."""
@@ -1329,6 +1366,7 @@ QUERIES = {
     "token_pairs": _q_token_pairs,
     "corpus_report": _q_corpus_report,
     "size_histogram": _q_size_histogram,
+    "cross_corpus_dups": _q_cross_corpus_dups,
     "flagship_extract": _q_flagship,
     "extract_boilerplate_strip": _q_extract_boilerplate_strip,
     "normalize_text": _q_normalize,
@@ -1767,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t ASOF LEFT JOIN q
               ON t.user_id = q.user_id AND t.ts >= q.ts
         """,
+        "cross_corpus_dups": _duck_cross_corpus_dups(),
         "corpus_report": """
             SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_size,
@@ -2099,6 +2138,42 @@ def _duck_contamination(n: int = 13, bench_mod: int = 50) -> str:
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def _duck_cross_corpus_dups(threshold: float = 0.5) -> str:
+    """All-pairs exact-Jaccard mirror of _q_cross_corpus_dups (the LSH
+    side's banding at r=1 has recall 1-3e-9 above the threshold, and
+    verification is exact Jaccard over distinct k=4 shingles of the
+    first 100 tokens — identical set semantics here)."""
+    toks = _duck_spark_tokens("text")
+    shingle = """
+        CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')]
+             ELSE list_distinct(list_transform(
+                    generate_series(1, len(tk) - 3),
+                    i -> array_to_string(tk[i:i+3], ' ')))
+        END
+    """
+    return f"""
+        WITH base AS (
+          SELECT doc_id, ({toks})[1:100] AS tk FROM documents
+          WHERE doc_id < 80),
+        twins AS (
+          SELECT doc_id,
+                 (({toks})[1:greatest(1,
+                     CAST(floor(len({toks}) * 3 / 4.0) AS INT))])[1:100]
+                   AS tk
+          FROM documents WHERE doc_id < 40),
+        sb AS (SELECT doc_id, {shingle} AS sh FROM base),
+        st AS (SELECT doc_id, {shingle} AS sh FROM twins),
+        px AS (SELECT st.doc_id AS left_key, sb.doc_id AS right_key,
+                      len(list_intersect(st.sh, sb.sh)) AS inter,
+                      len(st.sh) AS na, len(sb.sh) AS nb
+               FROM st CROSS JOIN sb)
+        SELECT left_key, right_key,
+               CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM px
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {threshold}e0
     """
 
 

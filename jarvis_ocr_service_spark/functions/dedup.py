@@ -296,6 +296,130 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    verify_threshold: float = 0.7,
+    max_tokens: int = 2000,
+    max_bucket: int = 0,
+) -> DataFrame:
+    """CROSS-corpus near-duplicate pairs: (left_key, right_key, jaccard)
+    for left docs within Jaccard >= threshold of a right doc — the
+    incremental-ingest primitive (new batch vs committed corpus), where
+    a self-join over batch ∪ corpus would re-pair the whole corpus
+    against itself every run. Same banded shape as
+    :func:`minhash_lsh_pairs` but the band join is left×right, so cost
+    scales with |batch| × collision-rate, not |corpus|².
+
+    ``max_bucket`` caps hot (band, band_hash) buckets measured on the
+    RIGHT (corpus) side — the side that can concentrate templated mass.
+    Keys need not be disjoint across the two tables (they're separate
+    key spaces in the output columns)."""
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sh = _shingled_with_signatures(
+            df, text_col, key_col, k, max_tokens, num_hashes
+        ).persist()
+        b = sh.select(
+            "k",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.element_at(
+                                    F.col("sig"), i * rows_per_band + j + 1
+                                )
+                                for j in range(rows_per_band)
+                            ]
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+        return sh, b
+
+    lsh_sh, lsh_b = banded(left)
+    rsh_sh, rsh_b = banded(right)
+    if max_bucket:
+        widths = rsh_b.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        ok = widths.filter(F.col("_w") <= max_bucket).drop("_w")
+        rsh_b = rsh_b.join(ok, ["band", "band_hash"])
+        lsh_b = lsh_b.join(ok, ["band", "band_hash"])
+    cand = (
+        lsh_b.alias("a")
+        .join(
+            rsh_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.k").alias("left_key"), F.col("b.k").alias("right_key")
+        )
+        .dropDuplicates(["left_key", "right_key"])
+    )
+    pairs = cand.join(
+        lsh_sh.select(
+            F.col("k").alias("left_key"), F.col("sh").alias("sh_a")
+        ),
+        "left_key",
+    ).join(
+        rsh_sh.select(
+            F.col("k").alias("right_key"), F.col("sh").alias("sh_b")
+        ),
+        "right_key",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    return attach_cached(
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("left_key", "right_key", "jaccard"),
+        [lsh_sh, rsh_sh],
+    )
+
+
+def drop_near_dups_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    verify_threshold: float = 0.85,
+    **lsh_kwargs,
+) -> DataFrame:
+    """The ingest filter: batch rows whose text is NOT a near-duplicate
+    (Jaccard >= threshold) of anything in ``corpus``. Anti-join on the
+    cross-corpus pair set; the pair frame's caches are released after
+    the keys are derived (the anti-join only needs left keys)."""
+    pairs = minhash_lsh_pairs_between(
+        batch,
+        corpus,
+        text_col=text_col,
+        key_col=key_col,
+        verify_threshold=verify_threshold,
+        **lsh_kwargs,
+    )
+    dup_keys = pairs.select(
+        F.col("left_key").alias(key_col)
+    ).dropDuplicates()
+    from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
+
+    return attach_cached(
+        batch.join(dup_keys, key_col, "left_anti"), carried_cached(pairs)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, blocked by shared shingle)
 # ---------------------------------------------------------------------------

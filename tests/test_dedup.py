@@ -381,3 +381,68 @@ def test_simhash_max_bucket_caps_hot_band_buckets(spark):
     assert uncapped.count() == 40 * 39 // 2 + 1
     got = [(r.key_a, r.key_b) for r in capped.collect()]
     assert got == [(100, 101)]  # hot template buckets dropped, cold pair kept
+
+
+def test_minhash_between_finds_cross_corpus_dups(spark):
+    """Cross-corpus LSH: batch docs near a corpus doc pair up; unrelated
+    batch docs don't; keys live in separate spaces (overlap allowed)."""
+    from jarvis_ocr_service_spark.functions.dedup import (
+        drop_near_dups_against,
+        minhash_lsh_pairs_between,
+    )
+
+    base = " ".join(f"w{i}" for i in range(120))
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "completely different text " * 20)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, base + " tail tweak"),            # near-dup of corpus 0
+            (1, " ".join(f"z{i}" for i in range(120))),  # novel
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs_between(
+        batch, corpus, verify_threshold=0.8
+    ).collect()
+    assert [(p.left_key, p.right_key) for p in pairs] == [(0, 0)]
+    assert pairs[0].jaccard >= 0.8
+
+    kept = drop_near_dups_against(batch, corpus, verify_threshold=0.8)
+    assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_minhash_between_is_not_a_self_join(spark):
+    """Corpus-side duplicates must NOT pair with each other — only
+    batch-vs-corpus pairs come out (the whole point vs union+self-join)."""
+    from jarvis_ocr_service_spark.functions.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
+    dup = "same words repeated " * 30
+    corpus = spark.createDataFrame(
+        [(10, dup), (11, dup)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(0, "unrelated fresh content " * 30)], "doc_id long, text string"
+    )
+    assert minhash_lsh_pairs_between(batch, corpus).count() == 0
+
+
+def test_minhash_between_hot_bucket_guard(spark):
+    from jarvis_ocr_service_spark.functions.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
+    t = "the same exact templated page body repeated everywhere"
+    corpus = spark.createDataFrame(
+        [(i, t) for i in range(40)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    uncapped = minhash_lsh_pairs_between(batch, corpus, verify_threshold=0.9)
+    capped = minhash_lsh_pairs_between(
+        batch, corpus, verify_threshold=0.9, max_bucket=10
+    )
+    assert uncapped.count() == 40
+    assert capped.count() == 0
