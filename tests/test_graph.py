@@ -139,3 +139,20 @@ def test_empty_edge_table_yields_empty_ranking(spark):
     out = pagerank_quantized(edges, iters=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "rank_q"]
+
+
+def test_shuffle_partitions_knob_is_result_identical(spark):
+    """shuffle_partitions affects scheduling only — bit-identical ranks,
+    and the session conf is restored afterwards."""
+    edges = spark.createDataFrame(
+        [(i % 11, (i * 3 + 1) % 11) for i in range(60) if i % 11 != (i * 3 + 1) % 11],
+        "src long, dst long",
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    a = sorted((r.node, r.rank_q) for r in pagerank_quantized(edges, iters=4).collect())
+    b = sorted(
+        (r.node, r.rank_q)
+        for r in pagerank_quantized(edges, iters=4, shuffle_partitions=3).collect()
+    )
+    assert a == b
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
