@@ -1339,11 +1339,13 @@ def _q_top1_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    # Least-recently-driver-checked first: these four had rows in
-    # CORRECTNESS_r02 but the r3 driver emission sampled 50/54 and
-    # skipped them — if the driver ever samples again, the staleest
-    # evidence refreshes first (r3 verdict item 3). Dict order is the
-    # only ordering signal the driver sees.
+    # Definition order is NOT the order the driver sees: queries()
+    # re-sorts oldest-driver-evidence-first by reading the repo's
+    # CORRECTNESS_r*.json sidecars at call time (never-checked queries
+    # first, then ascending last-green round, insertion order as the
+    # tie-break). The driver samples a prefix of the dict, so this
+    # guarantees the evidence-freshness rotation is deterministic and
+    # provably oldest-first (r4 verdict item 1).
     "json_props": _q_json_props,
     "events_by_hour": _q_events_by_hour,
     "events_tumbling_5min": _q_events_tumbling_5min,
@@ -1423,8 +1425,44 @@ QUERIES = {
 }
 
 
+def _last_checked_rounds() -> dict[str, int]:
+    """Per-query most recent round with a green CORRECTNESS_r*.json row
+    (0 = never driver-checked). Reads the sidecars the driver itself
+    writes, so the ordering below is reproducible from the repo alone."""
+    import glob
+    import json
+    import os
+    import re
+
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("err") is None:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    """Oldest-driver-evidence-first: never-checked queries lead, then
+    ascending last-green round, insertion order breaking ties. The
+    driver samples a prefix, so the stalest evidence always refreshes
+    first and any two consecutive rounds' union covers all queries
+    (the driver checks >= half the suite per round)."""
+    last = _last_checked_rounds()
+    order = {name: i for i, name in enumerate(QUERIES)}
+    return {
+        name: QUERIES[name]
+        for name in sorted(QUERIES, key=lambda q: (last.get(q, 0), order[q]))
+    }
 
 
 def oracle_sql() -> dict[str, str]:

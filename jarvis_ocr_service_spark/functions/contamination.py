@@ -9,16 +9,27 @@ repo's py-token class); a document is contaminated iff it contains at
 least ``min_hits`` DISTINCT token ``n``-grams that appear anywhere in
 the benchmark set. Documents shorter than ``n`` tokens cannot collide.
 
-Scale shape (the part that matters at 10^12 rows): the benchmark side
-is SMALL by definition (eval sets are thousands of rows, not billions),
-so its distinct gram set is built driver-side from the shared pure
-function and broadcast to executors; the corpus side is ONE Arrow
-stage doing set lookups per batch — no explode, no join, ZERO shuffles
-for the report. The explode-join alternative ships n_tokens rows per
-document through the plan, and generating grams with an interpreted
-``F.transform`` lambda never enters codegen (~1 µs/element — the exact
-trap that DNF'd the old minhash signatures, see CLAUDE.md); set lookup
-in a batch loop is an order of magnitude cheaper and stays map-only.
+Scale shape (the part that matters at 10^12 rows): the benchmark gram
+set is hashed to 64-bit integers driver-side and broadcast as ONE
+sorted numpy ``uint64`` array — 8 bytes per gram instead of ~80 for a
+Python ``str`` in a ``set`` (a realistic all-eval-suites union of
+10^7–10^8 grams is ~100–800 MB resident per executor as raw strings vs
+~80–800 MB/10 ≈ 8–80 MB hashed; r4 verdict item 2). Membership is
+``np.searchsorted`` (O(log n), vectorized over each document's grams).
+The corpus side stays ONE Arrow stage — no explode, no join, ZERO
+shuffles for the report. When the benchmark outgrows what a broadcast
+should carry (``max_broadcast_grams``), the same gram hashes flow
+through an explode + equi-join fallback instead (documented below) —
+bigger plan, bounded memory.
+
+Hash-collision note: gram membership is decided on 64-bit hashes, so a
+corpus gram could in principle collide with a different benchmark gram
+(P ≈ n_doc_grams × n_bench_grams / 2^64 — at 10^8 benchmark grams and
+10^4 grams/doc that is ~5e-8 per document, vanishing next to crawl
+noise, and *conservative*: a collision only ever ADDS a hit). Hashing
+is deterministic, so results are exactly reproducible run-to-run and
+the hashed form is property-pinned equal to the string-set form on the
+test corpus.
 
 Reference parity note: the reference service has no corpus hygiene;
 this is part of the training-data layer (SURVEY §2 "beyond the
@@ -27,11 +38,17 @@ reference").
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterable, Set
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Above this many distinct benchmark grams, contamination_hits switches
+# from the broadcast-array plan to the explode+join plan. 2^26 grams ×
+# 8 B = 512 MB of array per executor — the practical broadcast ceiling.
+DEFAULT_MAX_BROADCAST_GRAMS = 1 << 26
 
 
 def text_ngrams(text: str, n: int) -> Set[str]:
@@ -43,6 +60,16 @@ def text_ngrams(text: str, n: int) -> Set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+def gram_hash64(gram: str) -> int:
+    """Deterministic 64-bit gram hash (unsigned): first 8 bytes of
+    blake2b, big-endian. THE shared hash — driver-side benchmark
+    hashing, executor-side membership, and the join fallback all use
+    it, so every plan form gives identical answers."""
+    return int.from_bytes(
+        hashlib.blake2b(gram.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
 def benchmark_gram_set(texts: Iterable[str], n: int) -> Set[str]:
     """Union of the benchmark rows' gram sets (driver-side; eval sets
     are small by contract — thousands of rows, not billions)."""
@@ -50,6 +77,20 @@ def benchmark_gram_set(texts: Iterable[str], n: int) -> Set[str]:
     for t in texts:
         out |= text_ngrams(t, n)
     return out
+
+
+def _hashed_sorted(grams: Set[str]):
+    """Sorted numpy uint64 array of gram hashes (the broadcast payload:
+    8 B/gram, searchsorted membership)."""
+    import numpy as np
+
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.fromiter(
+        (gram_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+    arr.sort()
+    return arr
 
 
 def contamination_hits(
@@ -60,19 +101,29 @@ def contamination_hits(
     bench_text_col: str = "text",
     n: int = 13,
     min_hits: int = 1,
+    max_broadcast_grams: int = DEFAULT_MAX_BROADCAST_GRAMS,
 ) -> DataFrame:
     """(key, n_hits, contaminated) for EVERY corpus document — n_hits =
     number of distinct n-grams shared with the benchmark set (0 for
     clean docs; a decontamination report must say "clean", not omit),
     contaminated = n_hits >= min_hits.
 
-    Plan: one Arrow map stage over (key, text); the benchmark gram set
-    rides a Spark broadcast variable. No shuffle anywhere."""
+    Plan: one Arrow map stage over (key, text); the benchmark gram
+    hashes ride a broadcast numpy uint64 array (sorted, searchsorted
+    membership). If the benchmark exceeds ``max_broadcast_grams``, the
+    fallback plan explodes each document's gram hashes and equi-joins
+    the (distinct) benchmark hash frame instead — one shuffle, bounded
+    executor memory, identical answers (same gram_hash64)."""
     spark = df.sparkSession
     bench = benchmark_gram_set(
         (r[0] for r in benchmark.select(bench_text_col).collect()), n
     )
-    bc = spark.sparkContext.broadcast(bench)
+    if len(bench) > max_broadcast_grams:
+        return _contamination_hits_join(
+            spark, df, bench, text_col, key_col, n, min_hits
+        )
+    arr = _hashed_sorted(bench)
+    bc = spark.sparkContext.broadcast(arr)
     key_field = df.schema[key_col]
     out_schema = T.StructType(
         [
@@ -84,16 +135,25 @@ def contamination_hits(
     nn, mh = int(n), int(min_hits)
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
 
-        grams = bc.value
+        grams = bc.value  # sorted uint64
         for b in batches:
             if not len(b):
                 continue
-            hits = [
-                sum(1 for g in text_ngrams(t, nn) if g in grams)
-                for t in b[text_col]
-            ]
+            hits = []
+            for t in b[text_col]:
+                g = text_ngrams(t, nn)
+                if not g or not len(grams):
+                    hits.append(0)
+                    continue
+                h = np.fromiter(
+                    (gram_hash64(x) for x in g), dtype=np.uint64, count=len(g)
+                )
+                idx = np.searchsorted(grams, h)
+                idx[idx == len(grams)] = 0  # safe probe; mismatch filters it
+                hits.append(int(np.count_nonzero(grams[idx] == h)))
             yield pd.DataFrame(
                 {
                     "key": b[key_col],
@@ -103,6 +163,71 @@ def contamination_hits(
             )
 
     return df.select(key_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def _contamination_hits_join(
+    spark,
+    df: DataFrame,
+    bench: Set[str],
+    text_col: str,
+    key_col: str,
+    n: int,
+    min_hits: int,
+) -> DataFrame:
+    """Oversized-benchmark fallback: explode (key, gram_hash) per
+    document (distinct grams only — the same distinctness the counting
+    semantics need), inner-join the benchmark hash frame on the hash,
+    count per key, left-join zeros back. One shuffle for the join + one
+    for the count; no executor holds the benchmark in memory."""
+    key_field = df.schema[key_col]
+    ex_schema = T.StructType(
+        [
+            T.StructField("key", key_field.dataType, key_field.nullable),
+            T.StructField("_gh", T.LongType(), False),
+        ]
+    )
+    nn = int(n)
+
+    def signed64(h: int) -> int:
+        # signed view of the uint64 for LongType
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    def explode_grams(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            keys, ghs = [], []
+            for k, t in zip(b[key_col], b[text_col]):
+                for g in text_ngrams(t, nn):
+                    keys.append(k)
+                    ghs.append(signed64(gram_hash64(g)))
+            yield pd.DataFrame(
+                {"key": keys, "_gh": pd.array(ghs, dtype="Int64")}
+            )
+
+    grams_df = df.select(key_col, text_col).mapInPandas(explode_grams, schema=ex_schema)
+    bench_rows = [
+        (signed64(h),) for h in sorted({gram_hash64(g) for g in bench})
+    ]
+    bench_df = spark.createDataFrame(bench_rows, "_gh long")
+    counts = (
+        grams_df.join(bench_df, "_gh")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .join(counts, "key", "left")
+        .select(
+            "key",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= int(min_hits)).alias(
+                "contaminated"
+            ),
+        )
+    )
 
 
 def decontaminate(
@@ -116,12 +241,18 @@ def decontaminate(
 ) -> DataFrame:
     """The corpus with contaminated documents REMOVED (all original
     columns) — the shippable-output form of :func:`contamination_hits`.
-    The dirty key set is benchmark-adjacent and therefore small, so the
-    anti-join broadcasts it (no corpus shuffle)."""
+
+    The dirty key set is bounded by the CORPUS collision count, not the
+    benchmark size — on a templated corpus it can be ~10× the benchmark
+    rows or worse (this module's own entry fixture flags exact copies at
+    that rate), so a forced broadcast is a driver/OOM hazard (ADVICE
+    r4). The anti-join is therefore left unhinted: AQE picks a
+    broadcast when the runtime-observed dirty set is small and a
+    shuffled sort-merge anti-join when it is not."""
     flags = contamination_hits(
         df, benchmark, text_col, key_col, bench_text_col, n, min_hits
     )
     dirty = flags.filter(F.col("contaminated")).select(
         F.col("key").alias(key_col)
     )
-    return df.join(F.broadcast(dirty), key_col, "left_anti")
+    return df.join(dirty, key_col, "left_anti")

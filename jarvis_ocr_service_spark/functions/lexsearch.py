@@ -34,15 +34,13 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jarvis_ocr_service_spark.functions.tokens import py_tokens_col
+
 DEFAULT_SCALE = 1_000_000
 
-
-def _py_tokens_col(col):
-    """Lowercased Python-str.split()-equivalent tokens (drops empties)."""
-    t = F.trim(F.lower(F.coalesce(col, F.lit(""))))
-    return F.filter(
-        F.split(t, r"\s+"), lambda tk: tk != F.lit("")
-    )
+# Backwards-compatible private alias; the shared definition lives in
+# functions/tokens.py (single source — byte-identity invariant).
+_py_tokens_col = py_tokens_col
 
 
 def build_term_index(

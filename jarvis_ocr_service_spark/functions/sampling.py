@@ -42,10 +42,16 @@ def _threshold_signed(rate: float) -> int:
     P(h64 wrapped-signed < t-ish) == rate under the unsigned order.
     We compare on the SIGNED value shifted by 2^63: signed(h) compares
     like unsigned(h) after adding 2^63 with wraparound, so the
-    threshold is unsigned_threshold - 2^63."""
+    threshold is unsigned_threshold - 2^63.
+
+    rate=1.0 (and float rounding just below it) would map to 2^63,
+    which overflows LongType — clamp to int64 max. The comparison is
+    strict `<`, so the clamp excludes only the single hash value
+    2^63-1 (P = 2^-64 per key): keep-everything callers should skip
+    the filter, and hash_sample does exactly that for rate >= 1.0."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    return int(rate * _U64) - (1 << 63)
+    return min(int(rate * _U64), _U64 - 1) - (1 << 63)
 
 
 def _shifted(col, salt: str):
@@ -72,7 +78,14 @@ def hash_sample(
 ) -> DataFrame:
     """Deterministic Bernoulli sample: keeps exactly the rows whose
     salted key-hash falls under the rate threshold. Same key + salt ->
-    same fate, everywhere, forever. Pure filter — no shuffle."""
+    same fate, everywhere, forever. Pure filter — no shuffle.
+
+    rate >= 1.0 is a no-op (keep everything) rather than a filter, so
+    the clamped threshold's 2^-64 edge never bites."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    if rate >= 1.0:
+        return df
     return df.filter(_shifted(F.col(key_col), salt) < F.lit(_threshold_signed(rate)))
 
 

@@ -58,6 +58,15 @@ def asof_join(
     rc = right_cols or [c for c in right.columns if c not in by + [ts_col]]
     left_cols = [c for c in left.columns if c not in by]
 
+    # NULL-ts handling (pinned to the DuckDB ASOF oracle, ADVICE r4):
+    # `t.ts >= q.ts` never matches a NULL, but a nulls-first ascending
+    # sort would place a NULL-ts right row before every left row and
+    # make it the running-last match for early left rows — silent
+    # semantic drift. Drop NULL-ts right rows up front; NULL-ts left
+    # rows stay (they sort first, before any right row, so they get
+    # the correct no-match nulls).
+    right = right.filter(F.col(ts_col).isNotNull())
+
     r_struct = F.struct(
         F.col(ts_col), *[F.col(c) for c in rc]
     )

@@ -22,10 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _tokens(col):
-    t = F.trim(F.lower(F.coalesce(col, F.lit(""))))
-    return F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+from jarvis_ocr_service_spark.functions.tokens import py_tokens_col as _tokens
 
 
 def token_counts(

@@ -177,6 +177,7 @@ def run_checkpointed(
             break
 
         batch_df = spark.read.parquet(*batch_files)
+        _batch_cache = None
         if dedup_against_committed or digest_table is not None:
             digest = F.md5(F.coalesce(F.col("html"), F.lit(b"")))
             keyed = batch_df.withColumn("_digest", digest)
@@ -199,6 +200,16 @@ def run_checkpointed(
                         .select("_digest")
                     )
                     keyed = keyed.join(seen, "_digest", "left_anti")
+                # ONE computation of the survivors feeds both the
+                # digest write (the materializing action) and the
+                # pipeline: persist the post-anti-join frame (bounded —
+                # one batch of rows), release after the batch commits.
+                # Without this the read + groupBy + anti-join recompute
+                # fully for the pipeline action, and any read
+                # nondeterminism could let the written digests drift
+                # from the rows actually processed (ADVICE r4).
+                keyed = keyed.persist()
+                _batch_cache = keyed
                 (
                     keyed.select("_digest")
                     .withColumn("batch_id", F.lit(batch_id).cast("long"))
@@ -218,8 +229,9 @@ def run_checkpointed(
                         ]
                     )
                     keyed = keyed.join(seen, "_digest", "left_anti")
-                # one computation of the survivors feeds both the digest
-                # write and the pipeline (write is the materialization)
+                # same persist rationale as the table branch above
+                keyed = keyed.persist()
+                _batch_cache = keyed
                 keyed.select("_digest").write.mode("overwrite").parquet(
                     f"{output_path}/_digests/batch_id={batch_id}"
                 )
@@ -256,6 +268,8 @@ def run_checkpointed(
             " n_error long, n_truncated long, run_id string",
         ).withColumn("committed_at", F.current_timestamp())
         manifest_row.write.mode("append").parquet(manifest_path)
+        if _batch_cache is not None:
+            _batch_cache.unpersist()
         committed_so_far.add(batch_id)
         ran += 1
 

@@ -58,6 +58,15 @@ def test_every_oracle_key_has_query():
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
+def test_queries_order_is_oldest_evidence_first():
+    """The driver samples a prefix of queries() in dict order; the order
+    must be non-decreasing in last-green CORRECTNESS round (0 = never
+    checked) so the stalest evidence always refreshes first."""
+    last = entrymod._last_checked_rounds()
+    rounds = [last.get(name, 0) for name in entrymod.queries()]
+    assert rounds == sorted(rounds), rounds
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 )

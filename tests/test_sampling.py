@@ -53,6 +53,19 @@ def test_hash_sample_rate_and_determinism(spark, ids):
     assert other != set(ks)
 
 
+def test_hash_sample_boundary_rates(spark, ids):
+    # rate=1.0 keeps everything (no LongType overflow — ADVICE r4), and
+    # rate just under 1.0 must not overflow the clamped threshold either
+    assert hash_sample(ids, 1.0).count() == N
+    assert hash_sample(ids, 0.0).count() == 0
+    near_one = hash_sample(ids, 1.0 - 2**-53).count()  # largest double < 1
+    assert near_one == N  # threshold 2^64-2^11: P(drop) ~ N * 2^-53
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_sample(ids, 1.5).count()
+
+
 def test_hash_split_disjoint_complete_and_sized(spark, ids):
     out = hash_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
     assert len(out) == N

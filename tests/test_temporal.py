@@ -56,6 +56,49 @@ def test_asof_inclusive_tie_and_missing_key(spark):
     assert got[9] == (None, None)  # key with no right rows -> nulls
 
 
+def test_asof_null_ts_matches_duckdb(spark):
+    """NULL-ts right rows must never match (DuckDB `t.ts >= q.ts` is
+    null-rejecting); NULL-ts left rows get the no-match nulls. Without
+    the up-front filter a nulls-first sort made a NULL-ts right row the
+    running-last match for early left rows (ADVICE r4)."""
+    left = [(1, 2), (1, 5), (1, None)]
+    right = [(1, None, 99), (1, 4, 10)]
+    l = spark.createDataFrame(left, "k long, ts long")
+    r = spark.createDataFrame(right, "k long, ts long, v long")
+    got = sorted(
+        ((x.k, x.ts, x.ts_r, x.v_r) for x in asof_join(l, r, by=["k"]).collect()),
+        key=str,
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k BIGINT, ts BIGINT)")
+    con.execute("CREATE TABLE r(k BIGINT, ts BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?)", left)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", right)
+    duck = sorted(
+        (
+            tuple(row)
+            for row in con.execute(
+                "SELECT l.k, l.ts, r.ts, r.v FROM l ASOF LEFT JOIN r"
+                " ON l.k = r.k AND l.ts >= r.ts"
+            ).fetchall()
+        ),
+        key=str,
+    )
+    # Non-NULL left rows: exact DuckDB parity (NULL right rows never match)
+    assert [g for g in got if g[1] is not None] == [
+        d for d in duck if d[1] is not None
+    ]
+    # the concrete assertions the ADVICE named:
+    assert (1, 2, None, None) in got   # ts=2: no right row <= 2 (NULL skipped)
+    # NULL left ts: OUR pinned semantics is no-match (predicate-faithful —
+    # `l.ts >= r.ts` is null-rejecting). DuckDB's sort-based ASOF
+    # implementation deviates from its own predicate here and pairs the
+    # NULL-left row with the NULL-right row; we deliberately do not
+    # reproduce that quirk.
+    assert (1, None, None, None) in got
+    assert (1, None, None, 99) in duck  # the documented DuckDB quirk
+
+
 def test_asof_plan_single_shuffle_no_nested_loop(spark):
     l = spark.createDataFrame(LEFT, "k long, ts long")
     r = spark.createDataFrame(RIGHT, "k long, ts long, v long")
