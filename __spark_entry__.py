@@ -814,6 +814,38 @@ def _q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pack_id", "pack_offset")
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (functions/vocab.bpe_merges): k=8 rounds of
+    greedy most-frequent adjacent-pair merges at word granularity,
+    deterministic (n DESC, tok_a, tok_b) tie-break, value-exact vs a
+    chained-CTE DuckDB mirror (the pagerank k-round pattern). The 31-
+    token synthetic vocabulary makes pairs collide heavily, so merges
+    chain into multi-token symbols within the 8 rounds."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import bpe_merges
+
+    docs = _tbl(spark, sf_dir, "documents").select("text")
+    return bpe_merges(docs, 8)
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straddle-aware packing (functions/packing.pack_chunks): one row
+    per (document, pack) intersection so packs are directly trainable;
+    prefix sum + JVM explode(sequence). max_tokens=5000 is SMALLER than
+    many documents' n_chars, so straddles are exercised for real (the
+    fixture emits more chunks than documents)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.packing import pack_chunks
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_chunks(
+        docs, 5000, token_col="n_chars", order_col="doc_id"
+    ).select(
+        "doc_id", "pack_id", "chunk_index", "pack_offset", "tok_start",
+        "chunk_tokens",
+    )
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli sample (functions/sampling.hash_sample):
     salted-md5 signed-int64 compare, exact in any engine; the sample is
@@ -1364,6 +1396,8 @@ QUERIES = {
     "stratified_sample": _q_stratified_sample,
     "hash_buckets": _q_hash_buckets,
     "pack_assign": _q_pack_assign,
+    "pack_chunks": _q_pack_chunks,
+    "bpe_merges": _q_bpe_merges,
     "top_tokens": _q_top_tokens,
     "token_pairs": _q_token_pairs,
     "corpus_report": _q_corpus_report,
@@ -1852,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "size_histogram": _duck_size_histogram(),
+        "bpe_merges": _duck_bpe_merges(8),
         "top_tokens": _duck_top_tokens(50),
         "token_pairs": _duck_token_pairs(100),
         "pack_assign": """
@@ -1863,6 +1898,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cum - n_chars) // 5000 AS BIGINT) AS pack_id,
                    CAST((cum - n_chars) % 5000 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "pack_chunks": """
+            WITH c AS (SELECT doc_id, n_chars,
+                              CAST(sum(n_chars) OVER (ORDER BY doc_id)
+                                   - n_chars AS BIGINT) AS start
+                       FROM documents
+                       WHERE n_chars > 0)
+            SELECT c.doc_id,
+                   CAST(p.pack_id AS BIGINT) AS pack_id,
+                   CAST(p.pack_id - start // 5000 AS BIGINT) AS chunk_index,
+                   CAST(GREATEST(p.pack_id * 5000, start)
+                        - p.pack_id * 5000 AS BIGINT) AS pack_offset,
+                   CAST(GREATEST(p.pack_id * 5000, start)
+                        - start AS BIGINT) AS tok_start,
+                   CAST(LEAST((p.pack_id + 1) * 5000, start + n_chars)
+                        - GREATEST(p.pack_id * 5000, start)
+                        AS BIGINT) AS chunk_tokens
+            FROM c, generate_series(start // 5000,
+                                    (start + n_chars - 1) // 5000) p(pack_id)
         """,
         "hash_sample": _duck_hash_sample(0.2, "corpus-v1"),
         "hash_split": _duck_hash_split(
@@ -2228,6 +2282,55 @@ def _duck_size_histogram() -> str:
                CAST(count(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY 1, 2
     """
+
+
+def _duck_bpe_merges(k: int) -> str:
+    """Chained-CTE mirror of vocab.bpe_merges (the pagerank k-round
+    pattern): s{r} holds every document as ONE string of chr(31)-
+    prefixed space-terminated symbols; p{r} counts adjacent symbol
+    pairs (split on space, lateral generate_series index walk); m{r}
+    picks the deterministic argmax; s{r+1} applies the merge with the
+    SAME literal replace (leftmost non-overlapping in both engines).
+    chr(1) joins merged halves, stripped chr(31) prefixes only appear
+    in the final projection — byte-identical to the Spark path."""
+    toks = _duck_py_tokens("lower(text)")
+    # Every CTE is MATERIALIZED: each round references its predecessor
+    # several times (pair count + 3 scalar subqueries in the replace),
+    # so default CTE inlining would expand ~4^k copies of the document
+    # scan — materialization keeps the chain linear.
+    parts = [
+        f"""WITH s0 AS MATERIALIZED (
+            SELECT chr(31) || array_to_string({toks}, ' ' || chr(31)) || ' '
+                   AS seq
+            FROM documents WHERE len({toks}) > 0
+        )"""
+    ]
+    for r in range(k):
+        parts.append(f"""
+        p{r} AS MATERIALIZED (
+            SELECT p[1] AS a, p[2] AS b, count(*) AS n FROM (
+                SELECT unnest(list_zip(arr[1:len(arr) - 2],
+                                       arr[2:len(arr) - 1])) AS p
+                FROM (SELECT string_split(seq, ' ') AS arr FROM s{r}) t
+            ) GROUP BY 1, 2
+        ),
+        m{r} AS MATERIALIZED (
+            SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+        ),
+        s{r + 1} AS MATERIALIZED (
+            SELECT replace(seq,
+                           (SELECT a FROM m{r}) || ' ' ||
+                           (SELECT b FROM m{r}) || ' ',
+                           (SELECT a FROM m{r}) || chr(1) ||
+                           substr((SELECT b FROM m{r}), 2) || ' ') AS seq
+            FROM s{r}
+        )""")
+    finals = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, substr(a, 2) AS tok_a,"
+        f" substr(b, 2) AS tok_b, CAST(n AS BIGINT) AS n FROM m{r}"
+        for r in range(k)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
 def _duck_top_tokens(k: int) -> str:

@@ -108,3 +108,64 @@ def assign_packs(
         .drop("_cum", "_start")
     )
     return attach_cached(out, carried_cached(cum))
+
+
+def pack_chunks(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """Straddle-aware packing: one output row per (document, pack)
+    intersection, so every pack's contents are DIRECTLY trainable — no
+    trainer-side splitting of straddling documents (r4 verdict item 7).
+
+    Cut the concatenated ``order_col``-ordered token stream every
+    ``max_tokens`` tokens; a document occupying global positions
+    [start, start+n) yields one chunk per pack it touches:
+
+      * ``pack_id``      — the pack this chunk lands in
+      * ``chunk_index``  — 0-based index of the chunk within its document
+      * ``pack_offset``  — where the chunk starts inside the pack
+                           (non-zero only for a document's first chunk)
+      * ``tok_start``    — where the chunk starts inside the DOCUMENT
+      * ``chunk_tokens`` — chunk length; sums to ``token_col`` per
+                           document (the concatenation invariant)
+
+    Zero-token documents yield no chunks (nothing to train on).
+
+    Plan: the same two-phase prefix sum as :func:`assign_packs`, then a
+    JVM-side ``explode(sequence(first_pack, last_pack))`` + pure integer
+    arithmetic — no Python, and the explode factor is exactly
+    ceil(n/max_tokens) per document (every generated row is a real
+    output row, nothing filtered). All integers, so the DuckDB oracle
+    (global window + generate_series) is value-exact."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    m = int(max_tokens)
+    cum = with_global_cumsum(
+        df, order_col, token_col, out_col="_cum", num_partitions=num_partitions
+    )
+    from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
+
+    out = (
+        cum.withColumn("_start", (F.col("_cum") - F.col(token_col)).cast("long"))
+        .filter(F.col(token_col) > 0)
+        .withColumn("_p0", F.expr(f"_start div {m}"))
+        .withColumn("_p1", F.expr(f"(_start + {token_col} - 1) div {m}"))
+        .withColumn("pack_id", F.explode(F.sequence(F.col("_p0"), F.col("_p1"))))
+        .withColumn("chunk_index", (F.col("pack_id") - F.col("_p0")).cast("long"))
+        .withColumn(
+            "_cstart", F.greatest(F.col("pack_id") * m, F.col("_start"))
+        )
+        .withColumn(
+            "_cend",
+            F.least((F.col("pack_id") + 1) * m, F.col("_start") + F.col(token_col)),
+        )
+        .withColumn("pack_offset", (F.col("_cstart") - F.col("pack_id") * m).cast("long"))
+        .withColumn("tok_start", (F.col("_cstart") - F.col("_start")).cast("long"))
+        .withColumn("chunk_tokens", (F.col("_cend") - F.col("_cstart")).cast("long"))
+        .drop("_cum", "_start", "_p0", "_p1", "_cstart", "_cend")
+    )
+    return attach_cached(out, carried_cached(cum))

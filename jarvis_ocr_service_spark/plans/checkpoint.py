@@ -151,6 +151,22 @@ def run_checkpointed(
 
         pipeline_fn = run_pipeline
 
+    if dedup_against_committed and digest_table is None:
+        import warnings
+
+        warnings.warn(
+            "dedup_against_committed=True with the default parquet-dir "
+            "digest store re-reads and re-shuffles the WHOLE committed "
+            "digest set on every batch's anti-join — O(corpus) shuffle "
+            "per increment. Fine for bounded backfills; for a growing "
+            "10^12-row corpus pass digest_table=<name> to use the "
+            "bucketed+sorted store whose anti-join shuffles only the "
+            "incoming batch (the store side reads its buckets in-place; "
+            "requires a persistent catalog/metastore for cross-session "
+            "resume, which is why it is not auto-selected here).",
+            stacklevel=2,
+        )
+
     run_id = str(uuid.uuid4())
     files = list_input_files(spark, input_path)
     batches = plan_batches(files, files_per_batch)

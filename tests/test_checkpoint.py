@@ -190,6 +190,9 @@ def test_bucketed_digest_store_resume_and_plan(spark, tmp_path):
     base.withColumn("url", F.concat(F.col("url"), F.lit("-re"))).write.mode(
         "append"
     ).parquet(src)
+    base.withColumn("url", F.concat(F.col("url"), F.lit("-re2"))).write.mode(
+        "append"
+    ).parquet(src)
     n_distinct = (
         spark.read.parquet(src)
         .select(F.md5(F.coalesce("html", F.lit(b"")))).distinct().count()
@@ -219,12 +222,15 @@ def test_bucketed_digest_store_resume_and_plan(spark, tmp_path):
         read_committed(spark, out2, man2)
     )
 
-    # plan gate: store side of the anti-join reads its buckets in-place
+    # plan gate (r4 verdict item 3): with THREE committed batches in the
+    # store, the per-batch anti-join still adds NO Exchange on the store
+    # side — exactly the plan run_checkpointed builds for batch 3.
+    assert committed_batches(spark, man) == {0, 1, 2}
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         seen = (
-            spark.table(tbl).filter(F.col("batch_id").isin([0, 1]))
+            spark.table(tbl).filter(F.col("batch_id").isin([0, 1, 2]))
             .select("_digest")
         )
         probe = spark.range(10).selectExpr("CAST(id AS STRING) AS _digest")
@@ -239,3 +245,19 @@ def test_bucketed_digest_store_resume_and_plan(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_dir_digest_store_warns_about_scale(spark, pages_dir, tmp_path):
+    """The default parquet-dir digest store must warn loudly about its
+    per-batch O(corpus) shuffle and point at digest_table."""
+    import warnings
+
+    out, man = str(tmp_path / "ow"), str(tmp_path / "mw")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run_checkpointed(
+            spark, pages_dir, out, man, files_per_batch=1, max_batches=1,
+            dedup_against_committed=True,
+        )
+    msgs = [str(x.message) for x in w]
+    assert any("digest_table" in m and "O(corpus)" in m for m in msgs), msgs

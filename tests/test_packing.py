@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from jarvis_ocr_service_spark.functions.packing import (
     assign_packs,
+    pack_chunks,
     with_global_cumsum,
 )
 
@@ -55,6 +56,69 @@ def test_pack_assignment_rules(spark):
 
     with pytest.raises(ValueError):
         assign_packs(df, 0)
+
+
+def test_pack_chunks_rules_and_invariants(spark):
+    # docs 60,60,250,10 @ max=100: starts 0,60,120,370
+    #   doc0: 1 chunk  pack0 off0  len60
+    #   doc1: 2 chunks pack0 off60 len40 | pack1 off0 len20
+    #   doc2: 3 chunks pack1 off20 len80 | pack2 len100 | pack3 len70
+    #   doc3: 1 chunk  pack3 off70 len10
+    df = spark.createDataFrame(
+        [(0, 60), (1, 60), (2, 250), (3, 10), (4, 0)],
+        "doc_id long, n_tokens long",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_index, r.pack_id, r.pack_offset, r.tok_start,
+         r.chunk_tokens)
+        for r in pack_chunks(df, 100, num_partitions=2).collect()
+    )
+    assert rows == [
+        (0, 0, 0, 0, 0, 60),
+        (1, 0, 0, 60, 0, 40),
+        (1, 1, 1, 0, 40, 20),
+        (2, 0, 1, 20, 0, 80),
+        (2, 1, 2, 0, 80, 100),
+        (2, 2, 3, 0, 180, 70),
+        (3, 0, 3, 70, 0, 10),
+    ]  # zero-token doc 4 emits nothing
+    # concatenation invariant: chunk lengths sum back to the document
+    per_doc = {}
+    for d, _ci, _p, _po, _ts, n in rows:
+        per_doc[d] = per_doc.get(d, 0) + n
+    assert per_doc == {0: 60, 1: 60, 2: 250, 3: 10}
+    # pack-level invariant: every pack except the last is exactly full
+    per_pack = {}
+    for _d, _ci, p, _po, _ts, n in rows:
+        per_pack[p] = per_pack.get(p, 0) + n
+    assert per_pack == {0: 100, 1: 100, 2: 100, 3: 80}
+    # chunks agree with assign_packs on where each doc's first token lands
+    first = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in assign_packs(df, 100, num_partitions=2).collect()
+    }
+    for d, ci, p, po, _ts, _n in rows:
+        if ci == 0:
+            assert first[d] == (p, po)
+
+
+@pytest.mark.parametrize("max_tokens", [7, 64, 1000])
+def test_pack_chunks_property_concat_invariant(spark, max_tokens):
+    rows = [(i, (i * 37 + 11) % 400) for i in range(500)]  # includes 0-len
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_chunks(
+        df, max_tokens, token_col="n", order_col="doc_id", num_partitions=8
+    ).collect()
+    per_doc = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.chunk_tokens
+        assert 0 < r.chunk_tokens <= max_tokens
+        assert 0 <= r.pack_offset < max_tokens
+    want = {i: n for i, n in rows if n > 0}
+    assert per_doc == want
+    total = sum(want.values())
+    packs = {r.pack_id for r in out}
+    assert packs == set(range((total + max_tokens - 1) // max_tokens))
 
 
 def test_no_single_partition_global_window(spark):
