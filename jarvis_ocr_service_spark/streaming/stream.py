@@ -76,6 +76,24 @@ def run_stream(
     return writer.start()
 
 
+def _committed_corpus_exists(spark: SparkSession, output_path: str) -> bool:
+    """True iff the prepare output holds at least one batch partition
+    with committed part files (same only-absent-means-nothing policy as
+    plans/checkpoint._manifest_exists)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(output_path)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return False
+    for st in fs.listStatus(path):
+        if st.isDirectory() and st.getPath().getName().startswith("batch="):
+            for f in fs.listStatus(st.getPath()):
+                if f.isFile() and f.getPath().getName().startswith("part-"):
+                    return True
+    return False
+
+
 def run_stream_prepare(
     spark: SparkSession,
     input_path: str,
@@ -87,23 +105,38 @@ def run_stream_prepare(
     max_tokens: int = 100_000,
     min_quality: float = 0.5,
     pdf_mode: str = "parse",
+    neardup_against_committed: bool = False,
+    neardup_threshold: float = 0.7,
+    neardup_max_bucket: int = 1000,
+    neardup_num_hashes: int = 16,
+    neardup_bands: int = 8,
 ):
     """Streaming form of the training-data prepare pipeline — the
     continuous-crawl-ingest twin of plans/prepare.prepare_training_data:
 
         pages stream -> cross-micro-batch exact dedup (digest state,
         watermark-bounded) -> extraction cascade -> quality gate ->
-        append clean corpus
+        [near-dup vs committed corpus] -> append clean corpus
 
     Dedup runs FIRST here (on the payload digest, before extraction) —
     in a continuous ingest the same page recrawled minutes apart is the
     common case, and dropping it before the cascade saves the extraction
     work entirely (the batch pipeline dedups after extraction because
     there the cost trade goes the other way — see
-    plans/pipeline._run_dedup_extract's measured A/B). Near-dup collapse
-    stays a periodic BATCH job over the accumulated corpus
-    (plans/prepare) — corpus-wide LSH needs global state that streaming
-    should not hold.
+    plans/pipeline._run_dedup_extract's measured A/B).
+
+    ``neardup_against_committed=True`` (r4 verdict item 4) additionally
+    drops each micro-batch's NEAR-duplicates — recrawls that were
+    edited/truncated so the exact digest changed — against the already-
+    committed corpus, via :func:`~jarvis_ocr_service_spark.functions.
+    dedup.minhash_lsh_pairs_between`: the band join is batch×corpus (one
+    banded equi-join, cost |batch| × collision-rate, never corpus²),
+    ``max_bucket`` caps hot template buckets on the corpus side, and the
+    current batch's own partition is excluded from the corpus read so a
+    replayed micro-batch compares against exactly what a first attempt
+    saw (idempotent). Corpus-internal near-dup collapse remains the
+    periodic batch job (plans/prepare) — this incremental form only ever
+    blocks NEW rows, it never rewrites committed ones.
 
     Exactly-once: Spark's streaming checkpoint tracks input files, and
     the sink is batch-id-keyed dynamic partition overwrite
@@ -138,6 +171,37 @@ def run_stream_prepare(
             & (F.col("n_tokens") <= max_tokens)
             & (F.col("quality") >= min_quality)
         )
+        if neardup_against_committed and _committed_corpus_exists(
+            spark, output_path
+        ):
+            from jarvis_ocr_service_spark.functions.dedup import (
+                minhash_lsh_pairs_between,
+            )
+
+            committed = (
+                spark.read.option("basePath", output_path)
+                .parquet(output_path)
+                .filter(F.col("batch") != int(batch_id))
+                .select("url", "text")
+            )
+            # default 16 hashes / 8 bands = rows-per-band 2: ~99.9%
+            # band recall at Jaccard 0.75 (r=4's ~80% deterministically
+            # missed truncated twins); exact verify still gates every
+            # candidate, so extra collisions cost compute, not recall
+            near = minhash_lsh_pairs_between(
+                scored,
+                committed,
+                text_col="text",
+                key_col="url",
+                num_hashes=neardup_num_hashes,
+                bands=neardup_bands,
+                verify_threshold=neardup_threshold,
+                max_bucket=neardup_max_bucket,
+            )
+            dup_urls = near.select(
+                F.col("left_key").alias("url")
+            ).dropDuplicates(["url"])
+            scored = scored.join(dup_urls, "url", "left_anti")
         _write_batch_idempotent(scored, output_path, batch_id)
 
     writer = (

@@ -106,6 +106,76 @@ def test_stream_prepare_dedups_then_extracts_and_gates(spark, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+def test_stream_prepare_neardup_against_committed(spark, tmp_path):
+    """r4 verdict item 4: with neardup_against_committed=True, a
+    recrawled NEAR-duplicate (3/4-truncated twin — new url, new payload
+    digest, so exact dedup cannot catch it) arriving in a later
+    micro-batch adds ZERO corpus rows, while genuinely new pages in the
+    same micro-batch still land."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from jarvis_ocr_service_spark.schema import PAGES_SCHEMA
+    from jarvis_ocr_service_spark.sources.pages import (
+        _html_page,
+        make_page,
+        synthesize_pages,
+    )
+    from jarvis_ocr_service_spark.streaming.stream import run_stream_prepare
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    kwargs = dict(
+        watermark="10 days",
+        neardup_against_committed=True,
+        neardup_threshold=0.6,
+    )
+
+    synthesize_pages(spark, 40, num_partitions=2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = run_stream_prepare(spark, src, out, ck, **kwargs)
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # batch 2: twins of the clean (class-0) pages — article truncated to
+    # its first 3/4 words — plus genuinely new clean pages (other seed)
+    twin_rows = []
+    for i in range(0, 40, 10):  # class-0 indices
+        p = make_page(i)
+        words = p["text"].split()
+        twin_text = " ".join(words[: 3 * len(words) // 4])
+        twin_rows.append(
+            {
+                "url": p["url"] + "-re",
+                "warc_ts": p["warc_ts"],
+                "html": _html_page(f"Doc {i} re", [twin_text]),
+                "text": twin_text,
+                "lang": p["lang"],
+            }
+        )
+    fresh_rows = [make_page(i, seed=77) for i in range(1000, 1040, 10)]
+    for r in fresh_rows:
+        r["url"] += "-new"
+    batch2 = spark.createDataFrame(
+        pd.DataFrame(twin_rows + fresh_rows), schema=PAGES_SCHEMA
+    )
+    batch2.write.mode("append").parquet(src)
+
+    q2 = run_stream_prepare(spark, src, out, ck, **kwargs)
+    q2.awaitTermination(180)
+    corpus = spark.read.parquet(out)
+    got_urls = {r.url for r in corpus.select("url").collect()}
+    # no twin landed; every fresh page did
+    assert not any(u.endswith("-re") for u in got_urls), got_urls
+    fresh_expected = {r["url"] for r in fresh_rows}
+    assert fresh_expected <= got_urls
+    assert corpus.count() == n1 + len(fresh_rows)
+
+
 def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     """The exactly-once mechanism itself: replaying a micro-batch write
     (crash between parquet commit and checkpoint commit) overwrites its
