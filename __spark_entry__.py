@@ -828,6 +828,25 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, 8)
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply (functions/vocab.bpe_encode): learn 6 merges on
+    the corpus, then encode the corpus with them — ONE pure-codegen
+    projection of 6 nested literal replaces. The oracle re-derives the
+    merges in the same chained CTE and reads the chain's final state as
+    the encoded corpus, so BOTH stages are value-checked end-to-end."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import bpe_encode, bpe_merges
+
+    docs = _tbl(spark, sf_dir, "documents")
+    merges = [
+        (r.tok_a, r.tok_b)
+        for r in bpe_merges(docs.select("text"), 6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
 def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Straddle-aware packing (functions/packing.pack_chunks): one row
     per (document, pack) intersection so packs are directly trainable;
@@ -1398,6 +1417,7 @@ QUERIES = {
     "pack_assign": _q_pack_assign,
     "pack_chunks": _q_pack_chunks,
     "bpe_merges": _q_bpe_merges,
+    "bpe_encode": _q_bpe_encode,
     "top_tokens": _q_top_tokens,
     "token_pairs": _q_token_pairs,
     "corpus_report": _q_corpus_report,
@@ -1887,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "size_histogram": _duck_size_histogram(),
         "bpe_merges": _duck_bpe_merges(8),
+        "bpe_encode": _duck_bpe_encode(6),
         "top_tokens": _duck_top_tokens(50),
         "token_pairs": _duck_token_pairs(100),
         "pack_assign": """
@@ -2284,23 +2305,25 @@ def _duck_size_histogram() -> str:
     """
 
 
-def _duck_bpe_merges(k: int) -> str:
-    """Chained-CTE mirror of vocab.bpe_merges (the pagerank k-round
-    pattern): s{r} holds every document as ONE string of chr(31)-
-    prefixed space-terminated symbols; p{r} counts adjacent symbol
-    pairs (split on space, lateral generate_series index walk); m{r}
-    picks the deterministic argmax; s{r+1} applies the merge with the
-    SAME literal replace (leftmost non-overlapping in both engines).
-    chr(1) joins merged halves, stripped chr(31) prefixes only appear
-    in the final projection — byte-identical to the Spark path."""
+def _duck_bpe_chain(k: int) -> str:
+    """Shared chained-CTE prefix mirroring vocab.bpe_merges (the
+    pagerank k-round pattern): s{r} holds every document as ONE string
+    of chr(31)-prefixed space-terminated symbols (doc_id carried);
+    p{r} counts adjacent symbol pairs (split on space, list_zip of the
+    array with its own tail); m{r} picks the deterministic argmax;
+    s{r+1} applies the merge with the SAME literal replace (leftmost
+    non-overlapping in both engines). chr(1) joins merged halves;
+    chr(31) prefixes are stripped only in final projections.
+
+    Every CTE is MATERIALIZED: each round references its predecessor
+    several times (pair count + 3 scalar subqueries in the replace), so
+    default CTE inlining would expand ~4^k copies of the document scan
+    — materialization keeps the chain linear."""
     toks = _duck_py_tokens("lower(text)")
-    # Every CTE is MATERIALIZED: each round references its predecessor
-    # several times (pair count + 3 scalar subqueries in the replace),
-    # so default CTE inlining would expand ~4^k copies of the document
-    # scan — materialization keeps the chain linear.
     parts = [
         f"""WITH s0 AS MATERIALIZED (
-            SELECT chr(31) || array_to_string({toks}, ' ' || chr(31)) || ' '
+            SELECT doc_id,
+                   chr(31) || array_to_string({toks}, ' ' || chr(31)) || ' '
                    AS seq
             FROM documents WHERE len({toks}) > 0
         )"""
@@ -2318,19 +2341,48 @@ def _duck_bpe_merges(k: int) -> str:
             SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1
         ),
         s{r + 1} AS MATERIALIZED (
-            SELECT replace(seq,
+            SELECT doc_id,
+                   replace(seq,
                            (SELECT a FROM m{r}) || ' ' ||
                            (SELECT b FROM m{r}) || ' ',
                            (SELECT a FROM m{r}) || chr(1) ||
                            substr((SELECT b FROM m{r}), 2) || ' ') AS seq
             FROM s{r}
         )""")
+    return ",\n".join(parts)
+
+
+def _duck_bpe_merges(k: int) -> str:
+    """Mirror of vocab.bpe_merges — the k winning merges."""
     finals = [
         f"SELECT CAST({r} AS BIGINT) AS merge_round, substr(a, 2) AS tok_a,"
         f" substr(b, 2) AS tok_b, CAST(n AS BIGINT) AS n FROM m{r}"
         for r in range(k)
     ]
-    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+    return _duck_bpe_chain(k) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _duck_bpe_encode(k: int) -> str:
+    """Mirror of bpe_merges(k) + bpe_encode applied to the same corpus:
+    the final chain state s{k} IS the encoded corpus — strip the
+    chr(31) markers, count symbols; token-less documents (filtered out
+    of s0) re-enter as (0, '') via the left join, matching Spark."""
+    return (
+        _duck_bpe_chain(k)
+        + f""",
+        enc AS (
+            SELECT doc_id,
+                   rtrim(replace(seq, chr(31), '')) AS encoded
+            FROM s{k}
+        )
+        SELECT d.doc_id AS key,
+               CAST(CASE WHEN e.encoded IS NULL OR e.encoded = '' THEN 0
+                         ELSE len(string_split(e.encoded, ' ')) END
+                    AS BIGINT) AS n_symbols,
+               coalesce(e.encoded, '') AS encoded
+        FROM documents d LEFT JOIN enc e USING (doc_id)
+    """
+    )
 
 
 def _duck_top_tokens(k: int) -> str:

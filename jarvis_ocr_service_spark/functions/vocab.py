@@ -134,6 +134,47 @@ def bpe_merges(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus: ``(key, n_symbols,
+    encoded)`` where ``encoded`` is the document's symbol sequence
+    joined by single spaces (merged symbols carry ``BPE_JOIN`` between
+    their halves) and ``n_symbols`` its length — the tokenizer-apply
+    step that pairs with :func:`bpe_merges`.
+
+    ``merges`` is an ordered list of ``(tok_a, tok_b)`` pairs (e.g.
+    ``[(r.tok_a, r.tok_b) for r in bpe_merges(df, k).collect()]`` — k
+    driver-side rows, not a collect of corpus data). Application order
+    matters and is the training order, exactly as in classic BPE.
+
+    Plan: ONE projection — the k merges compile into k nested literal
+    ``F.replace`` calls over the SEP-prefixed string form (same
+    leftmost-non-overlapping semantics as training), then two final
+    replaces strip the markers. Pure codegen, no shuffle, no Python."""
+    toks = _tokens(F.col(text_col))
+    seq = F.when(
+        F.size(toks) > 0,
+        F.concat(F.lit(BPE_SEP), F.array_join(toks, " " + BPE_SEP), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    for a, b in merges:
+        pat = BPE_SEP + a + " " + BPE_SEP + b + " "
+        rep = BPE_SEP + a + BPE_JOIN + b + " "
+        seq = F.replace(seq, F.lit(pat), F.lit(rep))
+    encoded = F.rtrim(F.replace(seq, F.lit(BPE_SEP), F.lit("")))
+    n_symbols = F.when(
+        encoded == "", F.lit(0)
+    ).otherwise(F.size(F.split(encoded, " "))).cast("long")
+    return df.select(
+        F.col(key_col).alias("key"),
+        n_symbols.alias("n_symbols"),
+        encoded.alias("encoded"),
+    )
+
+
 def token_pair_counts(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

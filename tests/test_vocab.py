@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from jarvis_ocr_service_spark.functions.vocab import (
     BPE_JOIN,
+    bpe_encode,
     bpe_merges,
     token_counts,
     token_pair_counts,
@@ -130,6 +131,58 @@ def test_bpe_merges_early_stop_and_empty(spark):
     assert got == [(0, "a", "b", 1), (1, "a" + BPE_JOIN + "b", "c", 1)]
     with pytest.raises(ValueError):
         bpe_merges(df2, 0)
+
+
+def _brute_encode(text, merges):
+    s = (text or "").lower().split()
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + BPE_JOIN + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def test_bpe_encode_matches_brute_force(spark):
+    docs = _corpus(40)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)] + [(99, None), (98, "")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r.tok_a, r.tok_b)
+        for r in bpe_merges(
+            spark.createDataFrame([(d,) for d in docs], "text string"), 5
+        ).orderBy("merge_round").collect()
+    ]
+    assert len(merges) == 5
+    got = {r.key: (r.n_symbols, r.encoded) for r in bpe_encode(df, merges).collect()}
+    for i, d in enumerate(docs):
+        syms = _brute_encode(d, merges)
+        assert got[i] == (len(syms), " ".join(syms)), i
+    assert got[99] == (0, "") and got[98] == (0, "")
+    # applying merges never increases the symbol count, and any doc
+    # containing a merged pair got shorter
+    base = {i: len(d.split()) for i, d in enumerate(docs)}
+    assert all(got[i][0] <= base[i] for i in base)
+    assert any(got[i][0] < base[i] for i in base)
+
+
+def test_bpe_encode_plan_is_single_projection(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        bpe_encode(df, [("a", "b")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
 def test_plan_partial_agg_and_take_ordered(spark):
