@@ -865,6 +865,48 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (sampling.
+    shuffle_order): 0-based position in (salted-hash, key) order via
+    the two-phase parallel ranking — the oracle IS the 1-task global
+    window the implementation avoids."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.sampling import shuffle_order
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_order(docs, salt="epoch0").select("doc_id", "pos")
+
+
+def _q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixture (sampling.mix_corpora): three pseudo-
+    sources split by doc_id % 3, sampled at web=0.5 / code=0.8 /
+    books=1.0 (the rate-1.0 keep-everything path exercised) and
+    union-tagged. Map-only."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.sampling import mix_corpora
+
+    docs = _tbl(spark, sf_dir, "documents")
+    srcs = {
+        "web": docs.filter(F.col("doc_id") % 3 == 0),
+        "code": docs.filter(F.col("doc_id") % 3 == 1),
+        "books": docs.filter(F.col("doc_id") % 3 == 2),
+    }
+    rates = {"web": 0.5, "code": 0.8, "books": 1.0}
+    return mix_corpora(srcs, rates, salt="mix-v1").select("doc_id", "source")
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete corpus percentiles (report.exact_quantiles):
+    value at 0-based rank (n-1)*pct//100 of the (n_chars, doc_id)
+    sort — pinned integer definition, two-phase parallel ranking vs
+    the oracle's global window."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.report import exact_quantiles
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return exact_quantiles(docs, "n_chars", "doc_id", (25, 50, 75, 95))
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli sample (functions/sampling.hash_sample):
     salted-md5 signed-int64 compare, exact in any engine; the sample is
@@ -1411,6 +1453,9 @@ QUERIES = {
     "asof_quotes": _q_asof_quotes,
     "range_join_events": _q_range_join_events,
     "hash_sample": _q_hash_sample,
+    "shuffle_order": _q_shuffle_order,
+    "mix_corpora": _q_mix_corpora,
+    "length_quantiles": _q_length_quantiles,
     "hash_split": _q_hash_split,
     "stratified_sample": _q_stratified_sample,
     "hash_buckets": _q_hash_buckets,
@@ -1925,21 +1970,38 @@ def oracle_sql() -> dict[str, str]:
                               CAST(sum(n_chars) OVER (ORDER BY doc_id)
                                    - n_chars AS BIGINT) AS start
                        FROM documents
-                       WHERE n_chars > 0)
-            SELECT c.doc_id,
-                   CAST(p.pack_id AS BIGINT) AS pack_id,
-                   CAST(p.pack_id - start // 5000 AS BIGINT) AS chunk_index,
-                   CAST(GREATEST(p.pack_id * 5000, start)
-                        - p.pack_id * 5000 AS BIGINT) AS pack_offset,
-                   CAST(GREATEST(p.pack_id * 5000, start)
+                       WHERE n_chars > 0),
+            x AS (SELECT doc_id, n_chars, start,
+                         unnest(generate_series(start // 5000,
+                                 (start + n_chars - 1) // 5000)) AS pack_id
+                  FROM c)
+            SELECT doc_id,
+                   CAST(pack_id AS BIGINT) AS pack_id,
+                   CAST(pack_id - start // 5000 AS BIGINT) AS chunk_index,
+                   CAST(GREATEST(pack_id * 5000, start)
+                        - pack_id * 5000 AS BIGINT) AS pack_offset,
+                   CAST(GREATEST(pack_id * 5000, start)
                         - start AS BIGINT) AS tok_start,
-                   CAST(LEAST((p.pack_id + 1) * 5000, start + n_chars)
-                        - GREATEST(p.pack_id * 5000, start)
+                   CAST(LEAST((pack_id + 1) * 5000, start + n_chars)
+                        - GREATEST(pack_id * 5000, start)
                         AS BIGINT) AS chunk_tokens
-            FROM c, generate_series(start // 5000,
-                                    (start + n_chars - 1) // 5000) p(pack_id)
+            FROM x
         """,
         "hash_sample": _duck_hash_sample(0.2, "corpus-v1"),
+        "shuffle_order": _duck_shuffle_order("epoch0"),
+        "mix_corpora": _duck_mix_corpora(
+            {"web": 0.5, "code": 0.8, "books": 1.0}, "mix-v1"
+        ),
+        "length_quantiles": """
+            WITH r AS (SELECT n_chars AS v,
+                              row_number() OVER (ORDER BY n_chars, doc_id)
+                                  - 1 AS pos,
+                              count(*) OVER () AS n
+                       FROM documents)
+            SELECT CAST(p.pct AS BIGINT) AS pct, CAST(r.v AS BIGINT) AS value
+            FROM r JOIN (VALUES (25), (50), (75), (95)) p(pct)
+                 ON r.pos = (r.n - 1) * p.pct // 100
+        """,
         "hash_split": _duck_hash_split(
             {"train": 0.8, "val": 0.1, "test": 0.1}, "split-v1"
         ),
@@ -2407,6 +2469,41 @@ def _duck_token_pairs(min_count: int) -> str:
                CAST(count(*) AS BIGINT) AS n
         FROM ex GROUP BY 1, 2 HAVING count(*) >= {min_count}
     """
+
+
+def _duck_shuffle_order(salt: str) -> str:
+    """Mirror of sampling.shuffle_order: THE naive global window the
+    two-phase implementation avoids, over the module's own hash mirror."""
+    from jarvis_ocr_service_spark.functions.sampling import shifted_hash_duck_sql
+
+    h = shifted_hash_duck_sql("doc_id", salt)
+    return f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY ({h}), doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM documents
+    """
+
+
+def _duck_mix_corpora(rates: dict, salt: str) -> str:
+    """Mirror of sampling.mix_corpora over the doc_id%3 pseudo-sources:
+    per-source salted threshold filters, rate>=1.0 keeps everything."""
+    from jarvis_ocr_service_spark.functions.sampling import (
+        _threshold_signed,
+        shifted_hash_duck_sql,
+    )
+
+    mods = {"web": 0, "code": 1, "books": 2}
+    parts = []
+    for name in sorted(rates):
+        h = shifted_hash_duck_sql("doc_id", f"{salt}#{name}")
+        cond = f"doc_id % 3 = {mods[name]}"
+        if rates[name] < 1.0:
+            cond += f" AND ({h}) < {_threshold_signed(rates[name])}"
+        parts.append(
+            f"SELECT doc_id, '{name}' AS source FROM documents WHERE {cond}"
+        )
+    return "\nUNION ALL\n".join(parts)
 
 
 def _duck_hash_sample(rate: float, salt: str) -> str:

@@ -5,6 +5,8 @@ Commands
   resume    manifest-checkpointed extraction (exactly-once; re-run to resume)
   stream    structured-streaming extraction (availableNow backlog drain)
   prepare   full training-data pipeline (extract -> quality -> dedup)
+  stream-prepare  streaming prepare (digest dedup -> cascade -> gate;
+            optional near-dup dedup vs the committed corpus)
   synth     write a deterministic synthetic pages table
 
 All commands accept --master / --cores; on a cluster, submit with
@@ -31,7 +33,7 @@ def main(argv=None) -> int:
     p.add_argument("--cores", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    for name in ("extract", "resume", "stream", "prepare"):
+    for name in ("extract", "resume", "stream", "prepare", "stream-prepare"):
         s = sub.add_parser(name)
         s.add_argument("--input", required=True)
         s.add_argument("--output", required=True)
@@ -39,11 +41,20 @@ def main(argv=None) -> int:
         if name == "resume":
             s.add_argument("--manifest", required=True)
             s.add_argument("--files-per-batch", type=int, default=4)
-        if name == "stream":
+        if name in ("stream", "stream-prepare"):
             s.add_argument("--checkpoint", required=True)
         if name == "prepare":
             s.add_argument("--min-quality", type=float, default=0.5)
             s.add_argument("--near-dup-threshold", type=float, default=0.85)
+        if name == "stream-prepare":
+            s.add_argument("--min-quality", type=float, default=0.5)
+            s.add_argument("--watermark", default="1 hour")
+            s.add_argument(
+                "--neardup-against-committed", action="store_true",
+                help="drop each micro-batch's near-duplicates against the"
+                " already-committed corpus (banded LSH, batch x corpus)",
+            )
+            s.add_argument("--neardup-threshold", type=float, default=0.7)
 
     s = sub.add_parser("synth")
     s.add_argument("--output", required=True)
@@ -90,6 +101,25 @@ def main(argv=None) -> int:
         q = run_stream(spark, args.input, args.output, args.checkpoint)
         q.awaitTermination()
         print(f"stream drained -> {args.output}")
+        return 0
+
+    if args.cmd == "stream-prepare":
+        from jarvis_ocr_service_spark.streaming.stream import run_stream_prepare
+
+        q = run_stream_prepare(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            watermark=args.watermark,
+            min_quality=args.min_quality,
+            pdf_mode=args.pdf_mode,
+            neardup_against_committed=args.neardup_against_committed,
+            neardup_threshold=args.neardup_threshold,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.output).count()
+        print(f"stream-prepared {n} clean documents -> {args.output}")
         return 0
 
     if args.cmd == "prepare":

@@ -140,6 +140,85 @@ def stratified_take(
     )
 
 
+def shuffle_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    out_col: str = "pos",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: df + ``out_col`` =
+    the row's 0-based position in ascending (salted-hash, key) order —
+    the reproducible corpus-shuffle a pretraining run wants (same keys
+    + salt -> same order on any cluster layout; change the salt for a
+    fresh epoch permutation).
+
+    Scale shape: a bare ``row_number() OVER (ORDER BY ...)`` collapses
+    the corpus into ONE task (the global-window trap packing.py
+    documents). This is the two-phase form: range-repartition on
+    (hash, key), per-partition counts (P rows) to the driver as
+    exclusive offsets, per-partition row_number + broadcast offset —
+    parallel everywhere, identical result to the global window (which
+    is exactly what the DuckDB oracle runs)."""
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.withColumn("_h", _shifted(F.col(key_col), salt))
+        .repartitionByRange(p, F.col("_h"), F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r._pid: r.n
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("_h", key_col)
+    out = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_rn") + F.col("_off") - 1).cast("long"))
+        .drop("_h", "_pid", "_rn", "_off")
+    )
+    return attach_cached(out, [ranged])
+
+
+def mix_corpora(
+    sources: Dict[str, DataFrame],
+    rates: Dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic data mixture: hash-sample each source at its own
+    rate and union, tagging rows with the source name — the corpus-
+    mixing step of a training-data recipe (e.g. web 0.6, code 0.9,
+    books 1.0), reproducible and incrementally consistent per source.
+
+    The per-source salt is ``salt#name`` so the same key appearing in
+    two sources gets independent fates. Union of zero-shuffle filters —
+    map-only end to end."""
+    if set(sources) != set(rates):
+        raise ValueError("sources and rates must have identical keys")
+    out = None
+    for name in sorted(sources):
+        part = hash_sample(
+            sources[name], rates[name], key_col=key_col, salt=f"{salt}#{name}"
+        ).withColumn(source_col, F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("sources must be non-empty")
+    return out
+
+
 def hash_bucket(
     df: DataFrame,
     n_buckets: int,

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from jarvis_ocr_service_spark.functions.report import (
     corpus_report,
+    exact_quantiles,
     size_bucket_col,
     size_bucket_duck_sql,
     size_histogram,
@@ -24,6 +25,28 @@ def test_size_bucket_boundaries(spark):
         [vals],
     ).fetchall()
     assert {n: b for n, b in rows} == want
+
+
+def test_exact_quantiles_pinned_rule_and_brute_force(spark):
+    import pytest
+
+    # values with duplicates + a deterministic key tiebreak
+    vals = [(i, (i * 37) % 50) for i in range(301)]
+    df = spark.createDataFrame(vals, "doc_id long, n_chars long")
+    got = {
+        r.pct: r.value
+        for r in exact_quantiles(df, "n_chars", "doc_id", (0, 25, 50, 75, 95, 100)).collect()
+    }
+    srt = sorted(v for _, v in vals)
+    n = len(srt)
+    want = {p: srt[(n - 1) * p // 100] for p in (0, 25, 50, 75, 95, 100)}
+    assert got == want
+    assert got[0] == min(srt) and got[100] == max(srt)
+    # empty input -> empty result; bad percentile -> error
+    empty = spark.createDataFrame([], "doc_id long, n_chars long")
+    assert exact_quantiles(empty).count() == 0
+    with pytest.raises(ValueError):
+        exact_quantiles(df, percentiles=(101,))
 
 
 def test_corpus_report_and_histogram(spark):

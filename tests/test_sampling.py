@@ -4,6 +4,7 @@ disjointness, stratified stability, codegen-only plans."""
 import duckdb
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jarvis_ocr_service_spark.functions.sampling import (
@@ -11,7 +12,9 @@ from jarvis_ocr_service_spark.functions.sampling import (
     hash_bucket,
     hash_sample,
     hash_split,
+    mix_corpora,
     shifted_hash_duck_sql,
+    shuffle_order,
     stratified_take,
 )
 
@@ -112,6 +115,57 @@ def test_hash_bucket_range_and_parity(spark, ids):
     assert max(counts.values()) < 2.0 * min(counts.values())
     with pytest.raises(ValueError):
         hash_bucket(ids, 0)
+
+
+def test_shuffle_order_is_permutation_and_matches_global_window(spark, ids):
+    out = shuffle_order(ids, salt="e0", num_partitions=8).collect()
+    poss = sorted(r.pos for r in out)
+    assert poss == list(range(N))  # an exact permutation
+    # identical to the naive 1-task global window it avoids
+    naive = {
+        r.doc_id: r.pos
+        for r in ids.select(
+            "doc_id",
+            (
+                F.row_number().over(
+                    Window.orderBy(_shifted(F.col("doc_id"), "e0"), "doc_id")
+                )
+                - 1
+            ).cast("long").alias("pos"),
+        ).collect()
+    }
+    assert {r.doc_id: r.pos for r in out} == naive
+    # different salt -> different permutation (a fresh epoch)
+    other = {r.doc_id: r.pos for r in shuffle_order(ids, salt="e1").collect()}
+    assert other != {r.doc_id: r.pos for r in out}
+    # plan: the ranking window is partitioned (parallel), never global
+    plan = (
+        shuffle_order(ids, salt="e0", num_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(_pid" in plan, plan
+
+
+def test_mix_corpora_rates_and_determinism(spark, ids):
+    srcs = {
+        "a": ids.filter(F.col("doc_id") % 2 == 0),
+        "b": ids.filter(F.col("doc_id") % 2 == 1),
+    }
+    out = mix_corpora(srcs, {"a": 0.25, "b": 1.0}, salt="m1").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert by_src["b"] == {i for i in range(N) if i % 2 == 1}  # rate 1.0
+    assert abs(len(by_src["a"]) / (N / 2) - 0.25) < 0.05
+    # fates are independent per source: same keys, different salts
+    again = mix_corpora(srcs, {"a": 0.25, "b": 1.0}, salt="m1").collect()
+    assert {(r.doc_id, r.source) for r in again} == {
+        (r.doc_id, r.source) for r in out
+    }
+    with pytest.raises(ValueError):
+        mix_corpora(srcs, {"a": 0.25})  # rates keys mismatch
 
 
 def test_sample_plan_is_codegen_filter(spark, ids):
