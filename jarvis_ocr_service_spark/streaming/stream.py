@@ -129,14 +129,20 @@ def run_stream_prepare(
     drops each micro-batch's NEAR-duplicates — recrawls that were
     edited/truncated so the exact digest changed — against the already-
     committed corpus, via :func:`~jarvis_ocr_service_spark.functions.
-    dedup.minhash_lsh_pairs_between`: the band join is batch×corpus (one
-    banded equi-join, cost |batch| × collision-rate, never corpus²),
-    ``max_bucket`` caps hot template buckets on the corpus side, and the
-    current batch's own partition is excluded from the corpus read so a
-    replayed micro-batch compares against exactly what a first attempt
-    saw (idempotent). Corpus-internal near-dup collapse remains the
-    periodic batch job (plans/prepare) — this incremental form only ever
-    blocks NEW rows, it never rewrites committed ones.
+    dedup.minhash_lsh_pairs_between_sh`: the band join is batch×corpus
+    (one banded equi-join, cost |batch| × collision-rate, never
+    corpus²), ``max_bucket`` caps hot template buckets on the corpus
+    side, and the current batch's own partition is excluded from the
+    corpus read so a replayed micro-batch compares against exactly what
+    a first attempt saw (idempotent). The corpus side reads a
+    ``<output>/_bands`` SIDECAR of precomputed (k, sh, sig) rows that
+    every batch writes for its survivors (same batch-keyed idempotent
+    overwrite as the data), so committed TEXT is never re-read or
+    re-signatured per increment — each batch costs its own Arrow
+    signature pass plus a columnar sidecar scan. Corpus-internal
+    near-dup collapse remains the periodic batch job (plans/prepare) —
+    this incremental form only ever blocks NEW rows, it never rewrites
+    committed ones.
 
     Exactly-once: Spark's streaming checkpoint tracks input files, and
     the sink is batch-id-keyed dynamic partition overwrite
@@ -171,28 +177,40 @@ def run_stream_prepare(
             & (F.col("n_tokens") <= max_tokens)
             & (F.col("quality") >= min_quality)
         )
-        if neardup_against_committed and _committed_corpus_exists(
-            spark, output_path
-        ):
-            from jarvis_ocr_service_spark.functions.dedup import (
-                minhash_lsh_pairs_between,
-            )
+        if not neardup_against_committed:
+            _write_batch_idempotent(scored, output_path, batch_id)
+            return
 
-            committed = (
-                spark.read.option("basePath", output_path)
-                .parquet(output_path)
+        from jarvis_ocr_service_spark.functions.dedup import (
+            _shingled_with_signatures,
+            minhash_lsh_pairs_between_sh,
+        )
+
+        bands_path = f"{output_path}/_bands"
+        # the batch's (k, sh, sig) frame is computed ONCE — it is both
+        # the left side of the near-dup join and (survivors only) this
+        # batch's sidecar contribution
+        batch_sh = _shingled_with_signatures(
+            scored, "text", "url", 3, 2000, neardup_num_hashes
+        ).persist()
+        if _committed_corpus_exists(spark, bands_path):
+            # the committed corpus's signatures come from the sidecar —
+            # a columnar (k, sh, sig) scan with band keys derived
+            # JVM-side from sig; the corpus TEXT is never re-read or
+            # re-signatured per batch (the 10^12-row increment shape)
+            corpus_sh = (
+                spark.read.option("basePath", bands_path)
+                .parquet(bands_path)
                 .filter(F.col("batch") != int(batch_id))
-                .select("url", "text")
+                .drop("batch")
             )
             # default 16 hashes / 8 bands = rows-per-band 2: ~99.9%
             # band recall at Jaccard 0.75 (r=4's ~80% deterministically
             # missed truncated twins); exact verify still gates every
             # candidate, so extra collisions cost compute, not recall
-            near = minhash_lsh_pairs_between(
-                scored,
-                committed,
-                text_col="text",
-                key_col="url",
+            near = minhash_lsh_pairs_between_sh(
+                batch_sh,
+                corpus_sh,
                 num_hashes=neardup_num_hashes,
                 bands=neardup_bands,
                 verify_threshold=neardup_threshold,
@@ -202,7 +220,18 @@ def run_stream_prepare(
                 F.col("left_key").alias("url")
             ).dropDuplicates(["url"])
             scored = scored.join(dup_urls, "url", "left_anti")
+        # persist survivors so the data write and the sidecar write
+        # share one extraction pass (write #1 materializes the cache)
+        scored = scored.persist()
         _write_batch_idempotent(scored, output_path, batch_id)
+        # sidecar gets ONLY the survivors (rows actually committed),
+        # under the same batch-keyed idempotent overwrite as the data
+        survivor_sh = batch_sh.join(
+            scored.select(F.col("url").alias("k")), "k"
+        )
+        _write_batch_idempotent(survivor_sh, bands_path, batch_id)
+        batch_sh.unpersist()
+        scored.unpersist()
 
     writer = (
         deduped.writeStream.foreachBatch(process_batch)

@@ -174,6 +174,12 @@ def test_stream_prepare_neardup_against_committed(spark, tmp_path):
     fresh_expected = {r["url"] for r in fresh_rows}
     assert fresh_expected <= got_urls
     assert corpus.count() == n1 + len(fresh_rows)
+    # the _bands sidecar holds (k, sh, sig) for exactly the committed
+    # survivors — the corpus side of the next batch's near-dup join
+    # reads it instead of re-signaturing committed text
+    bands = spark.read.parquet(f"{out}/_bands")
+    assert set(bands.columns) == {"k", "sh", "sig", "batch"}
+    assert {r.k for r in bands.select("k").collect()} == got_urls
 
 
 def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
