@@ -865,6 +865,24 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (dedup.dedup_lines — the C4/RefinedWeb
+    boilerplate rule). The documents fixture is single-line, so BOTH
+    sides first build multi-line docs with the identical literal
+    replace (' row ' -> ' row\\n' — same leftmost-non-overlap scan in
+    either engine); the 31-token vocabulary makes many lines repeat
+    corpus-wide, so max_count=20 bites: frequent lines vanish from
+    every document, rare ones survive in place."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.dedup import dedup_lines
+
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" row "), F.lit(" row\n")).alias("text"),
+    )
+    return dedup_lines(docs, max_count=20)
+
+
 def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (sampling.
     shuffle_order): 0-based position in (salted-hash, key) order via
@@ -1453,6 +1471,7 @@ QUERIES = {
     "asof_quotes": _q_asof_quotes,
     "range_join_events": _q_range_join_events,
     "hash_sample": _q_hash_sample,
+    "dedup_lines": _q_dedup_lines,
     "shuffle_order": _q_shuffle_order,
     "mix_corpora": _q_mix_corpora,
     "length_quantiles": _q_length_quantiles,
@@ -1988,6 +2007,24 @@ def oracle_sql() -> dict[str, str]:
             FROM x
         """,
         "hash_sample": _duck_hash_sample(0.2, "corpus-v1"),
+        "dedup_lines": """
+            WITH src AS (SELECT doc_id,
+                                replace(text, ' row ', ' row' || chr(10)) AS t
+                         FROM documents),
+            l AS (SELECT doc_id,
+                         unnest(string_split(t, chr(10))) AS line,
+                         generate_subscripts(string_split(t, chr(10)), 1)
+                             AS pos
+                  FROM src),
+            hot AS (SELECT line FROM l WHERE line != ''
+                    GROUP BY line HAVING count(*) > 20),
+            k AS (SELECT l.* FROM l ANTI JOIN hot USING (line)),
+            r AS (SELECT doc_id,
+                         string_agg(line, chr(10) ORDER BY pos) AS text
+                  FROM k GROUP BY doc_id)
+            SELECT d.doc_id AS key, coalesce(r.text, '') AS text
+            FROM documents d LEFT JOIN r USING (doc_id)
+        """,
         "shuffle_order": _duck_shuffle_order("epoch0"),
         "mix_corpora": _duck_mix_corpora(
             {"web": 0.5, "code": 0.8, "books": 1.0}, "mix-v1"

@@ -58,6 +58,57 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_count: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """CORPUS-LEVEL line dedup (the C4 / RefinedWeb hygiene rule):
+    remove EVERY occurrence of any non-empty line whose total corpus
+    occurrence count exceeds ``max_count`` — repeated lines across a
+    crawl are boilerplate (cookie banners, nav text, licence footers),
+    and at ``max_count=1`` any line seen twice anywhere is removed from
+    everywhere. Empty lines are document structure: never counted,
+    never removed. Returns (key, text) with surviving lines rejoined in
+    their original order (a fully-boilerplate document comes back as
+    "" rather than disappearing — removal reports must say so).
+
+    Scale shape: posexplode (rows x lines/doc — the standard C4
+    pipeline cost), ONE partial-agg shuffle of (line, count) rows to
+    find hot lines, anti-join (AQE picks broadcast when the hot set is
+    small), then a per-document rebuild: array_sort over (pos, line)
+    structs + an interpreted F.transform — bounded by lines-per-doc
+    (tens, not the >100-element HOF hot-path threshold)."""
+    lines = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    hot = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > int(max_count))
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy("key").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text")
+    )
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .join(rebuilt, "key", "left")
+        .select("key", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingling (shared by MinHash / Jaccard)
 # ---------------------------------------------------------------------------
