@@ -865,6 +865,18 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer unigram surprisal scoring (vocab.unigram_surprisal):
+    CCNet-style LM quality proxy with floor-log2 integer buckets — the
+    same bit_length trick as the size histogram, so DuckDB is
+    value-exact."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import unigram_surprisal
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
 def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line dedup (dedup.dedup_lines — the C4/RefinedWeb
     boilerplate rule). The documents fixture is single-line, so BOTH
@@ -1472,6 +1484,7 @@ QUERIES = {
     "range_join_events": _q_range_join_events,
     "hash_sample": _q_hash_sample,
     "dedup_lines": _q_dedup_lines,
+    "unigram_surprisal": _q_unigram_surprisal,
     "shuffle_order": _q_shuffle_order,
     "mix_corpora": _q_mix_corpora,
     "length_quantiles": _q_length_quantiles,
@@ -2007,6 +2020,26 @@ def oracle_sql() -> dict[str, str]:
             FROM x
         """,
         "hash_sample": _duck_hash_sample(0.2, "corpus-v1"),
+        "unigram_surprisal": f"""
+            WITH tok AS (SELECT doc_id,
+                                unnest({_duck_py_tokens("lower(text)")})
+                                    AS token
+                         FROM documents),
+            c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+            s AS (SELECT token,
+                         CAST(length(to_base(CAST(greatest(t // n, 1)
+                                                  AS BIGINT), 2)) - 1
+                              AS BIGINT) AS s
+                  FROM c CROSS JOIN tot),
+            x AS (SELECT doc_id, count(*) AS n_tokens,
+                         sum(s) AS surprisal
+                  FROM tok JOIN s USING (token) GROUP BY doc_id)
+            SELECT d.doc_id AS key,
+                   CAST(coalesce(x.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(x.surprisal, 0) AS BIGINT) AS surprisal
+            FROM documents d LEFT JOIN x USING (doc_id)
+        """,
         "dedup_lines": """
             WITH src AS (SELECT doc_id,
                                 replace(text, ' row ', ' row' || chr(10)) AS t

@@ -175,6 +175,58 @@ def bpe_encode(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Integer unigram LM quality proxy (the CCNet idea — score
+    documents by how surprising their tokens are under a corpus
+    language model; high surprisal = gibberish/rare-token soup, low =
+    boilerplate): ``(key, n_tokens, surprisal)`` where ``surprisal`` =
+    sum over the document's tokens of floor(log2(total_tokens //
+    count(token))) — the ALL-INTEGER surprisal bucket (bit_length of
+    the integer quotient, the same no-floating-log trick as
+    report.size_bucket_col), so any engine computes the identical
+    score. Zero-token documents report (0, 0).
+
+    Plan: explode -> ONE partial-agg shuffle for the vocab counts
+    (Zipf-absorbed map-side), a scalar total collected driver-side
+    (bounded — one row), broadcast join of the per-token surprisal
+    table onto the token stream, per-doc sum (second shuffle carries
+    (key, long) rows). Real corpora would persist the vocab/surprisal
+    frame and re-score increments against it."""
+    from jarvis_ocr_service_spark.functions.report import size_bucket_col
+
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    sur = counts.select(
+        "token",
+        size_bucket_col(F.expr(f"CAST({int(total)} AS BIGINT) div n")).alias(
+            "s"
+        ),
+    )
+    per_doc = (
+        toks.join(F.broadcast(sur), "token")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s").cast("long").alias("surprisal"),
+        )
+    )
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .join(per_doc, "key", "left")
+        .select(
+            "key",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("surprisal", F.lit(0)).cast("long").alias("surprisal"),
+        )
+    )
+
+
 def token_pair_counts(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

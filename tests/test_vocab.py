@@ -14,6 +14,7 @@ from jarvis_ocr_service_spark.functions.vocab import (
     token_counts,
     token_pair_counts,
     top_tokens,
+    unigram_surprisal,
 )
 
 DOCS = [
@@ -183,6 +184,32 @@ def test_bpe_encode_plan_is_single_projection(spark):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_unigram_surprisal_matches_brute_force(spark):
+    docs = DOCS + [(5, "rare unseen zebra xylophone")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.key: (r.n_tokens, r.surprisal)
+        for r in unigram_surprisal(df).collect()
+    }
+    c = Counter()
+    for _, t in docs:
+        c.update((t or "").lower().split())
+    total = sum(c.values())
+    want = {}
+    for k, t in docs:
+        toks = (t or "").lower().split()
+        want[k] = (
+            len(toks),
+            sum(max(total // c[tk], 1).bit_length() - 1 for tk in toks),
+        )
+    assert got == want
+    # empty/None docs report (0, 0)
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    # rare tokens score higher per token than common ones
+    per_tok = {k: (s / n if n else 0) for k, (n, s) in got.items()}
+    assert per_tok[5] > per_tok[0]
 
 
 def test_plan_partial_agg_and_take_ordered(spark):
