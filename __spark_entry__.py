@@ -865,6 +865,23 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_change_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change detection (temporal.with_change_flags): per-key
+    lag over snapshot states — first snapshot and state transitions
+    flag changed, repeats don't. Events stand in as snapshots with a
+    coarse integer state so both repeats and changes occur; timestamps
+    ship as epoch micros (the TIMESTAMP_NTZ rule)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.temporal import with_change_flags
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 500").alias("state"),
+    )
+    return with_change_flags(ev, key_col="user_id", ts_col="ts_us", value_col="state")
+
+
 def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer unigram surprisal scoring (vocab.unigram_surprisal):
     CCNet-style LM quality proxy with floor-log2 integer buckets — the
@@ -1485,6 +1502,7 @@ QUERIES = {
     "hash_sample": _q_hash_sample,
     "dedup_lines": _q_dedup_lines,
     "unigram_surprisal": _q_unigram_surprisal,
+    "change_flags": _q_change_flags,
     "shuffle_order": _q_shuffle_order,
     "mix_corpora": _q_mix_corpora,
     "length_quantiles": _q_length_quantiles,
@@ -2020,6 +2038,17 @@ def oracle_sql() -> dict[str, str]:
             FROM x
         """,
         "hash_sample": _duck_hash_sample(0.2, "corpus-v1"),
+        "change_flags": """
+            WITH s AS (SELECT user_id,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                              CAST(round(value * 100) AS BIGINT) // 500
+                                  AS state
+                       FROM events)
+            SELECT user_id, ts_us, state,
+                   (row_number() OVER w = 1)
+                   OR (state IS DISTINCT FROM lag(state) OVER w) AS changed
+            FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, state)
+        """,
         "unigram_surprisal": f"""
             WITH tok AS (SELECT doc_id,
                                 unnest({_duck_py_tokens("lower(text)")})

@@ -142,3 +142,32 @@ def range_join_bucketed(
         & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("_b")
+
+
+def with_change_flags(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    value_col: str = "digest",
+) -> DataFrame:
+    """Recrawl change detection: per key, order snapshots by (ts, value)
+    and flag whether each snapshot's value differs from the previous one
+    (``changed`` true for the first snapshot too — a new page IS a
+    change). The crawl-scheduling primitive: change rate per url drives
+    recrawl frequency, and ``filter(~changed)`` drops no-op recrawls
+    before extraction.
+
+    The (ts, value) secondary sort makes equal-timestamp snapshots
+    deterministic; NULL values compare null-safely (NULL -> NULL is
+    "unchanged", NULL -> x is a change), and the first snapshot is
+    detected by row number, not by a NULL-prev sentinel a NULL value
+    could fake. ONE shuffle on the key (the window's partition); state
+    is nothing — this is a batch lag, the streaming twin is the digest
+    dropDuplicatesWithinWatermark in streaming/stream.py."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
+    prev = F.lag(F.col(value_col)).over(w)
+    first = F.row_number().over(w) == 1
+    return df.withColumn(
+        "changed",
+        first | ~F.col(value_col).eqNullSafe(prev),
+    )

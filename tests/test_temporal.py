@@ -110,6 +110,29 @@ def test_asof_plan_single_shuffle_no_nested_loop(spark):
     assert plan.count("Exchange") <= 2  # union sides feed ONE window shuffle
 
 
+def test_change_flags_pinned_semantics(spark):
+    from jarvis_ocr_service_spark.functions.temporal import with_change_flags
+
+    rows = [
+        # key 1: new, repeat, change, repeat
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "b"),
+        # key 2: single snapshot -> changed (new page IS a change)
+        (2, 10, "x"),
+        # key 3: NULL-state handling (NULL->NULL unchanged, NULL->x change)
+        (3, 10, None), (3, 20, None), (3, 30, "y"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, v string")
+    got = {
+        (r.k, r.ts): r.changed
+        for r in with_change_flags(df, "k", "ts", "v").collect()
+    }
+    assert got == {
+        (1, 10): True, (1, 20): False, (1, 30): True, (1, 40): False,
+        (2, 10): True,
+        (3, 10): True, (3, 20): False, (3, 30): True,
+    }
+
+
 def test_range_join_matches_predicate_semantics(spark):
     import random
 
