@@ -865,6 +865,18 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banned-wordlist filter (wordfilter.wordlist_flags — the C4
+    blocklist rule): distinct-banned-word counts per document, pure
+    codegen array_intersect. The blocklist picks common vocab tokens so
+    the flag genuinely splits the corpus."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.wordfilter import wordlist_flags
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return wordlist_flags(docs, ["vector", "stream", "nosuchword"])
+
+
 def _q_change_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl change detection (temporal.with_change_flags): per-key
     lag over snapshot states — first snapshot and state transitions
@@ -1503,6 +1515,7 @@ QUERIES = {
     "dedup_lines": _q_dedup_lines,
     "unigram_surprisal": _q_unigram_surprisal,
     "change_flags": _q_change_flags,
+    "wordlist_flags": _q_wordlist_flags,
     "shuffle_order": _q_shuffle_order,
     "mix_corpora": _q_mix_corpora,
     "length_quantiles": _q_length_quantiles,
@@ -2038,6 +2051,17 @@ def oracle_sql() -> dict[str, str]:
             FROM x
         """,
         "hash_sample": _duck_hash_sample(0.2, "corpus-v1"),
+        "wordlist_flags": f"""
+            SELECT doc_id AS key,
+                   CAST(len(list_intersect(
+                        {_duck_py_tokens("lower(text)")},
+                        ['nosuchword', 'stream', 'vector'])) AS BIGINT)
+                       AS n_hits,
+                   len(list_intersect(
+                        {_duck_py_tokens("lower(text)")},
+                        ['nosuchword', 'stream', 'vector'])) > 0 AS flagged
+            FROM documents
+        """,
         "change_flags": """
             WITH s AS (SELECT user_id,
                               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
