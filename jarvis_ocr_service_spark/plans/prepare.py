@@ -3,18 +3,22 @@ corpus actually runs.
 
     pages -> extraction cascade -> keep valid text
           -> quality gate (lang-id + quality score + token bounds)
+          -> [optional] banned-wordlist drop (functions/wordfilter)
           -> exact dedup (content digest)
           -> near-dup collapse (MinHash-LSH, keep min url per cluster)
-          -> [optional] PII redaction (functions/pii)
+          -> [optional] corpus-level line dedup (functions/dedup.dedup_lines)
           -> [optional] benchmark decontamination (functions/contamination)
+          -> [optional] PII redaction (functions/pii)
           -> clean corpus (url, text, lang_guess, quality, n_tokens)
 
-Shuffle budget: extraction is a pure map; the quality gate is map-side;
-exact dedup is one shuffle on a 16-byte digest; near-dup adds the banded
-self-join on already-deduped survivors (a small fraction of input); PII
-redaction is a codegen projection and decontamination a broadcast
-anti-join — both run AFTER dedup so the expensive text passes touch the
-smallest surviving set.
+Shuffle budget: extraction is a pure map; the quality gate and wordlist
+drop are map-side; exact dedup is one shuffle on a 16-byte digest;
+near-dup adds the banded self-join on already-deduped survivors (a
+small fraction of input); line dedup adds a line-level partial-agg
+shuffle + anti-join over the surviving set; PII redaction is a codegen
+projection and decontamination an AQE-decided anti-join — the hygiene
+tail runs AFTER dedup so the expensive text passes touch the smallest
+surviving set.
 """
 
 from __future__ import annotations
@@ -35,6 +39,8 @@ def prepare_training_data(
     redact_pii: bool = False,
     benchmark: Optional[DataFrame] = None,
     contamination_ngram: int = 13,
+    blocklist=None,
+    line_dedup_max_count: int = 0,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> deduplicated clean corpus.
 
@@ -43,7 +49,13 @@ def prepare_training_data(
     byte-identity contract with the extraction goldens). ``benchmark``
     (a DataFrame with a ``text`` column) enables 13-gram decontamination:
     corpus rows sharing any ``contamination_ngram``-token gram with it
-    are dropped (functions/contamination)."""
+    are dropped (functions/contamination). ``blocklist`` (an iterable of
+    banned words) drops documents containing any of them BEFORE dedup —
+    a codegen filter, C4's cleanup rule. ``line_dedup_max_count > 0``
+    additionally removes every line repeated corpus-wide more than that
+    many times from the surviving documents (dedup_lines — the
+    C4/RefinedWeb boilerplate-line rule; n_tokens/quality reflect the
+    pre-line-dedup text, as in those pipelines)."""
     from jarvis_ocr_service_spark.functions.dedup import (
         minhash_lsh_pairs,
         text_digest,
@@ -62,6 +74,12 @@ def prepare_training_data(
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("quality") >= min_quality)
     )
+    if blocklist:
+        from jarvis_ocr_service_spark.functions.wordfilter import (
+            drop_by_wordlist,
+        )
+
+        scored = drop_by_wordlist(scored, blocklist, text_col="text")
 
     # exact dedup: keep the lexicographically-first url per digest — a
     # min_by aggregate (one shuffle, partial agg map-side, no per-group
@@ -74,6 +92,20 @@ def prepare_training_data(
     )
 
     def finish(corpus: DataFrame) -> DataFrame:
+        # line dedup FIRST in the tail: decontamination grams and PII
+        # spans should be evaluated on the text that actually ships
+        if line_dedup_max_count:
+            from jarvis_ocr_service_spark.functions.dedup import dedup_lines
+
+            deduped_text = dedup_lines(
+                corpus, text_col="text", key_col="url",
+                max_count=line_dedup_max_count,
+            ).withColumnRenamed("key", "url").withColumnRenamed("text", "_ld")
+            corpus = (
+                corpus.drop("text")
+                .join(deduped_text, "url")
+                .withColumnRenamed("_ld", "text")
+            )
         # decontaminate BEFORE redaction: collision grams must be
         # matched against the original bytes, not [EMAIL]-rewritten ones
         if benchmark is not None:

@@ -78,3 +78,53 @@ def test_prepare_hygiene_stages(spark):
         assert r.text == base_by_url[r.url]
     dropped = {r.url for r in rows} - got_urls
     assert victim.url in dropped and len(dropped) >= 1
+
+
+def test_prepare_blocklist_and_line_dedup(spark):
+    """Wiring of the r5 hygiene options: a blocklist word drops its
+    documents before dedup; line_dedup_max_count removes corpus-repeated
+    lines from survivors while unique lines ride through unchanged."""
+    from pyspark.sql import functions as F
+
+    pages = synthesize_pages(spark, 60, num_partitions=2)
+    base = prepare_training_data(pages, near_dup_threshold=None)
+    rows = base.orderBy("url").collect()
+    # pick a token appearing in SOME but not all survivor texts
+    tokens_by_url = {r.url: set((r.text or "").lower().split()) for r in rows}
+    all_tokens = set().union(*tokens_by_url.values())
+    word = next(
+        t for t in sorted(all_tokens)
+        if 0 < sum(t in s for s in tokens_by_url.values()) < len(rows)
+    )
+    blocked = prepare_training_data(
+        pages, near_dup_threshold=None, blocklist=[word]
+    )
+    got_urls = {r.url for r in blocked.collect()}
+    want_urls = {u for u, s in tokens_by_url.items() if word not in s}
+    assert got_urls == want_urls
+
+    # line dedup vs the brute-force pinned rule over the base corpus
+    # (some fixture classes carry real newlines, so lines repeat both
+    # across docs and within them)
+    from collections import Counter
+
+    line_counts = Counter()
+    for r in rows:
+        for line in (r.text or "").split("\n"):
+            if line:
+                line_counts[line] += 1
+    ld = prepare_training_data(
+        pages, near_dup_threshold=None, line_dedup_max_count=1
+    )
+    got = {r.url: r.text for r in ld.collect()}
+    assert set(got) == set(tokens_by_url)  # no rows dropped, text rewritten
+    changed = 0
+    for r in rows:
+        want = "\n".join(
+            line
+            for line in (r.text or "").split("\n")
+            if line == "" or line_counts[line] <= 1
+        )
+        assert got[r.url] == want, r.url
+        changed += want != r.text
+    assert changed > 0  # the rule actually bit somewhere
