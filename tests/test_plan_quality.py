@@ -129,3 +129,27 @@ def test_dedup_extract_join_sheds_payload_bytes(spark, pages_path):
     join_lines = [l for l in plan.splitlines() if "Join" in l]
     assert join_lines
     assert not any("html" in l for l in join_lines), join_lines
+
+
+def test_r5_ops_plan_shapes(spark):
+    """Round-5 operator plan gates: line dedup's hot-line agg combines
+    map-side and never nest-loops; surprisal's token-surprisal join is a
+    broadcast (the per-token table is vocabulary-sized); pack_chunks'
+    window is partitioned (the parallel prefix sum), never global."""
+    from jarvis_ocr_service_spark.functions.dedup import dedup_lines
+    from jarvis_ocr_service_spark.functions.packing import pack_chunks
+    from jarvis_ocr_service_spark.functions.vocab import unigram_surprisal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    plan = _plan(dedup_lines(docs, max_count=5))
+    assert "partial_count" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    plan = _plan(unigram_surprisal(docs))
+    assert "BroadcastHashJoin" in plan, plan[:2000]  # surprisal table rides broadcast
+    assert "partial_count" in plan
+
+    plan = _plan(pack_chunks(docs.select("doc_id", "n_chars"), 5000,
+                             token_col="n_chars", num_partitions=4))
+    assert "windowspecdefinition(_pid" in plan, plan[:2000]
