@@ -2526,12 +2526,18 @@ def _duck_bpe_chain(k: int) -> str:
             SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1
         ),
         s{r + 1} AS MATERIALIZED (
+            -- coalesce guards an EMPTY m{r} (merges ran dry before
+            -- round k): the scalar subqueries go NULL and a bare
+            -- replace(seq, NULL, NULL) would NULL-poison every later
+            -- round; chr(0) never occurs in seq, so the guarded
+            -- replace is a no-op — matching Spark's early-stop
             SELECT doc_id,
                    replace(seq,
-                           (SELECT a FROM m{r}) || ' ' ||
-                           (SELECT b FROM m{r}) || ' ',
-                           (SELECT a FROM m{r}) || chr(1) ||
-                           substr((SELECT b FROM m{r}), 2) || ' ') AS seq
+                           coalesce((SELECT a FROM m{r}) || ' ' ||
+                                    (SELECT b FROM m{r}) || ' ', chr(0)),
+                           coalesce((SELECT a FROM m{r}) || chr(1) ||
+                                    substr((SELECT b FROM m{r}), 2) || ' ',
+                                    chr(0))) AS seq
             FROM s{r}
         )""")
     return ",\n".join(parts)

@@ -209,10 +209,17 @@ def _contamination_hits_join(
             )
 
     grams_df = df.select(key_col, text_col).mapInPandas(explode_grams, schema=ex_schema)
-    bench_rows = [
-        (signed64(h),) for h in sorted({gram_hash64(g) for g in bench})
-    ]
-    bench_df = spark.createDataFrame(bench_rows, "_gh long")
+    # hashes ship driver->executors as ONE int64 numpy/Arrow column —
+    # 8 B/gram, no Python tuple materialization (a >2^26-gram benchmark
+    # as a list of tuples would cost the driver the GBs this fallback
+    # exists to avoid), and no sort (an equi-join doesn't need one)
+    import numpy as np
+    import pandas as pd
+
+    arr = _hashed_sorted(bench).view(np.int64)  # signed view, same bits
+    bench_df = spark.createDataFrame(
+        pd.DataFrame({"_gh": pd.Series(arr, dtype="int64")})
+    )
     counts = (
         grams_df.join(bench_df, "_gh")
         .groupBy("key")

@@ -81,9 +81,14 @@ def dedup_lines(
     small), then a per-document rebuild: array_sort over (pos, line)
     structs + an interpreted F.transform — bounded by lines-per-doc
     (tens, not the >100-element HOF hot-path threshold)."""
+    # F.split takes a Java REGEX; the rejoin (array_join) and the
+    # DuckDB mirror (string_split) are literal — quote the separator
+    # (\Q...\E, with embedded \E escaped) so a sep of "." or "|" splits
+    # literally instead of on every character (found by review)
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(key_col).alias("key"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("pos", "line"),
     )
     hot = (
         lines.filter(F.col("line") != "")

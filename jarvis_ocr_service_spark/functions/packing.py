@@ -29,6 +29,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols,
+    out_col: str = "pos",
+    num_partitions: int = 0,
+):
+    """df + ``out_col`` = the row's 0-based position in ascending
+    ``order_cols`` order, via the two-phase parallel ranking (range
+    partitions + P-row per-partition counts collected as exclusive
+    offsets + per-partition row_number) — NEVER the 1-task global
+    window (which is exactly what the DuckDB oracles run). Returns
+    ``(ranked_df, total_rows)`` so callers sizing rank targets don't
+    need a separate full count. THE shared machinery behind
+    shuffle_order, exact_quantiles, and (as a cumsum generalization)
+    assign_packs — one implementation, three ops."""
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    spark = df.sparkSession
+    cols = [F.col(c) for c in (
+        [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    )]
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(p, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r._pid: r.n
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_rn") + F.col("_off") - 1).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+    return attach_cached(out, [ranged]), acc
+
+
 def with_global_cumsum(
     df: DataFrame,
     order_col: str,

@@ -80,50 +80,36 @@ def exact_quantiles(
     (lower discrete quantile), identical in any engine, no
     interpolation whose midpoint convention could differ.
 
-    Scale shape: the same two-phase global ranking as
-    :func:`~jarvis_ocr_service_spark.functions.sampling.shuffle_order`
-    with value as the primary sort (never the 1-task global window —
-    that naive window IS the DuckDB oracle), then a broadcast join on
-    the target ranks — one bounded-size result."""
-    from jarvis_ocr_service_spark.plans.caching import attach_cached
-    from pyspark.sql import Window
+    Scale shape: delegates to :func:`~jarvis_ocr_service_spark.
+    functions.packing.global_rank` — the shared two-phase ranking —
+    with value as the primary sort (never the 1-task global window;
+    that naive window IS the DuckDB oracle). global_rank's returned
+    total sizes the rank targets, so there is no separate full-scan
+    count; the target join is a broadcast of len(percentiles) rows."""
+    from jarvis_ocr_service_spark.functions.packing import global_rank
+    from jarvis_ocr_service_spark.plans.caching import (
+        attach_cached,
+        carried_cached,
+        release_cached,
+    )
 
     spark = df.sparkSession
     pcts = sorted(int(p) for p in percentiles)
     if not pcts or pcts[0] < 0 or pcts[-1] > 100:
         raise ValueError("percentiles must be in [0, 100]")
-    n = df.count()
+    ranks, n = global_rank(
+        df.select(
+            F.col(value_col).cast("long").alias("_v"),
+            F.col(key_col).alias("_k"),
+        ),
+        ["_v", "_k"],
+        out_col="_pos",
+        num_partitions=num_partitions,
+    )
     if n == 0:
+        release_cached(ranks)  # nothing downstream will read the cache
         return spark.createDataFrame([], "pct long, value long")
     targets = {p: (n - 1) * p // 100 for p in pcts}
-    # global rank in ascending (value, key) order — two-phase, parallel.
-    # shuffle_order ranks by (salted-hash(key), key); ranking by VALUE
-    # needs the same machinery with value as the primary sort, so build
-    # it directly with the shared pattern:
-    p_parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.select(F.col(value_col).cast("long").alias("_v"), F.col(key_col).alias("_k"))
-        .repartitionByRange(p_parts, F.col("_v"), F.col("_k"))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {
-        r._pid: r.n
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-    )
-    w = Window.partitionBy("_pid").orderBy("_v", "_k")
-    ranks = (
-        ranged.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn("_pos", (F.col("_rn") + F.col("_off") - 1).cast("long"))
-    )
     tgt = spark.createDataFrame(
         [(p, t) for p, t in targets.items()], "pct long, _pos long"
     )
@@ -131,4 +117,4 @@ def exact_quantiles(
         ranks.join(F.broadcast(tgt), "_pos")
         .select("pct", F.col("_v").alias("value"))
     )
-    return attach_cached(out, [ranged])
+    return attach_cached(out, carried_cached(ranks))

@@ -155,40 +155,20 @@ def shuffle_order(
 
     Scale shape: a bare ``row_number() OVER (ORDER BY ...)`` collapses
     the corpus into ONE task (the global-window trap packing.py
-    documents). This is the two-phase form: range-repartition on
-    (hash, key), per-partition counts (P rows) to the driver as
-    exclusive offsets, per-partition row_number + broadcast offset —
-    parallel everywhere, identical result to the global window (which
-    is exactly what the DuckDB oracle runs)."""
-    from jarvis_ocr_service_spark.plans.caching import attach_cached
+    documents). Delegates to :func:`~jarvis_ocr_service_spark.
+    functions.packing.global_rank` — the shared two-phase ranking —
+    ordered by (salted hash, key); identical result to the global
+    window (which is exactly what the DuckDB oracle runs)."""
+    from jarvis_ocr_service_spark.functions.packing import global_rank
+    from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
 
-    spark = df.sparkSession
-    p = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.withColumn("_h", _shifted(F.col(key_col), salt))
-        .repartitionByRange(p, F.col("_h"), F.col(key_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranked, _total = global_rank(
+        df.withColumn("_h", _shifted(F.col(key_col), salt)),
+        ["_h", key_col],
+        out_col=out_col,
+        num_partitions=num_partitions,
     )
-    counts = {
-        r._pid: r.n
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-    )
-    w = Window.partitionBy("_pid").orderBy("_h", key_col)
-    out = (
-        ranged.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, (F.col("_rn") + F.col("_off") - 1).cast("long"))
-        .drop("_h", "_pid", "_rn", "_off")
-    )
-    return attach_cached(out, [ranged])
+    return attach_cached(ranked.drop("_h"), carried_cached(ranked))
 
 
 def mix_corpora(

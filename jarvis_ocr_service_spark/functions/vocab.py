@@ -189,18 +189,23 @@ def unigram_surprisal(
     score. Zero-token documents report (0, 0).
 
     Plan: explode -> ONE partial-agg shuffle for the vocab counts
-    (Zipf-absorbed map-side), a scalar total collected driver-side
-    (bounded — one row), broadcast join of the per-token surprisal
-    table onto the token stream, per-doc sum (second shuffle carries
-    (key, long) rows). Real corpora would persist the vocab/surprisal
-    frame and re-score increments against it."""
+    (Zipf-absorbed map-side; the counts frame is PERSISTED so the
+    scalar-total collect and the surprisal join share one computation),
+    then a join of the per-token surprisal table onto the token stream
+    — UNHINTED: the vocabulary is corpus-bounded (Heaps' law — 10^8+
+    distinct tokens at 10^12 rows), so a forced broadcast is the exact
+    OOM hazard decontaminate avoids; AQE broadcasts when runtime size
+    allows and sort-merges when it doesn't — then the per-doc sum (a
+    shuffle of (key, long) rows). Real corpora would persist the
+    vocab/surprisal frame and re-score increments against it."""
     from jarvis_ocr_service_spark.functions.report import size_bucket_col
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
 
     toks = df.select(
         F.col(key_col).alias("key"),
         F.explode(_tokens(F.col(text_col))).alias("token"),
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
     total = counts.agg(F.sum("n")).collect()[0][0] or 0
     sur = counts.select(
         "token",
@@ -209,14 +214,14 @@ def unigram_surprisal(
         ),
     )
     per_doc = (
-        toks.join(F.broadcast(sur), "token")
+        toks.join(sur, "token")
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("s").cast("long").alias("surprisal"),
         )
     )
-    return (
+    out = (
         df.select(F.col(key_col).alias("key"))
         .join(per_doc, "key", "left")
         .select(
@@ -225,6 +230,7 @@ def unigram_surprisal(
             F.coalesce("surprisal", F.lit(0)).cast("long").alias("surprisal"),
         )
     )
+    return attach_cached(out, [counts])
 
 
 def token_pair_counts(

@@ -76,6 +76,45 @@ def run_stream(
     return writer.start()
 
 
+def _sidecar_params_guard(spark: SparkSession, bands_path: str, params: dict) -> None:
+    """Pin the signature parameters a _bands sidecar was built with.
+
+    First writer records them in ``<bands_path>/_params.json``; every
+    later run asserts equality — a run with different
+    num_hashes/bands/k would otherwise slice stored signatures past
+    their length (NULL band keys) and silently collapse near-dup
+    recall. Mismatch is a hard error, not corruption."""
+    import json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{bands_path}/_params.json")
+    fs = path.getFileSystem(conf)
+    if fs.exists(path):
+        stream = fs.open(path)
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        existing = json.loads(data.decode("utf-8"))
+        if existing != params:
+            raise ValueError(
+                f"_bands sidecar at {bands_path} was built with signature "
+                f"params {existing}, but this run uses {params} — stored "
+                "signatures are not comparable under different params; "
+                "delete the sidecar (and output) to rebuild, or match the "
+                "original parameters"
+            )
+        return
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(json.dumps(params, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+
+
 def _committed_corpus_exists(spark: SparkSession, output_path: str) -> bool:
     """True iff the prepare output holds at least one batch partition
     with committed part files (same only-absent-means-nothing policy as
@@ -187,6 +226,23 @@ def run_stream_prepare(
         )
 
         bands_path = f"{output_path}/_bands"
+        # only params baked into STORED rows are pinned — banding is
+        # derived from sig at read time, so neardup_bands may vary
+        _sidecar_params_guard(
+            spark,
+            bands_path,
+            {"k": 3, "max_tokens": 2000,
+             "num_hashes": int(neardup_num_hashes)},
+        )
+        # persist the gated batch BEFORE signatures: the extraction
+        # cascade + quality gate run once (materialized by the
+        # batch_sh persist below), then the data write, the sidecar
+        # join, and the anti-joined write all read the cache — without
+        # this the full extraction executed a second time for the data
+        # write (found by review; extraction is the dominant per-batch
+        # cost)
+        gated = scored.persist()
+        scored = gated
         # the batch's (k, sh, sig) frame is computed ONCE — it is both
         # the left side of the near-dup join and (survivors only) this
         # batch's sidecar contribution
@@ -232,6 +288,7 @@ def run_stream_prepare(
         _write_batch_idempotent(survivor_sh, bands_path, batch_id)
         batch_sh.unpersist()
         scored.unpersist()
+        gated.unpersist()
 
     writer = (
         deduped.writeStream.foreachBatch(process_batch)

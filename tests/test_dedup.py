@@ -71,6 +71,12 @@ def test_dedup_lines_corpus_rule(spark):
     long_doc = "\n".join(f"line{i}" for i in range(60))
     df2 = spark.createDataFrame([(0, long_doc)], "doc_id long, text string")
     assert dedup_lines(df2).collect()[0].text == long_doc
+    # sep is LITERAL, not a regex: "." must not split on every char
+    df3 = spark.createDataFrame(
+        [(0, "keep me.boiler"), (1, "other.boiler")], "doc_id long, text string"
+    )
+    got3 = {r.key: r.text for r in dedup_lines(df3, max_count=1, sep=".").collect()}
+    assert got3 == {0: "keep me", 1: "other"}
 
 
 def test_word_shingles(spark):

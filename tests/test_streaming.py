@@ -182,6 +182,24 @@ def test_stream_prepare_neardup_against_committed(spark, tmp_path):
     assert {r.k for r in bands.select("k").collect()} == got_urls
 
 
+def test_sidecar_params_guard(spark, tmp_path):
+    """The _bands sidecar pins its signature params: same params pass,
+    different params hard-error (stored signatures are not comparable —
+    silently slicing them past length would collapse recall)."""
+    import pytest
+
+    from jarvis_ocr_service_spark.streaming.stream import _sidecar_params_guard
+
+    bands = str(tmp_path / "out" / "_bands")
+    params = {"k": 3, "max_tokens": 2000, "num_hashes": 16}
+    _sidecar_params_guard(spark, bands, params)   # first writer records
+    _sidecar_params_guard(spark, bands, params)   # same params: fine
+    with pytest.raises(ValueError, match="signature"):
+        _sidecar_params_guard(
+            spark, bands, {"k": 3, "max_tokens": 2000, "num_hashes": 32}
+        )
+
+
 def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     """The exactly-once mechanism itself: replaying a micro-batch write
     (crash between parquet commit and checkpoint commit) overwrites its
