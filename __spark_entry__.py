@@ -792,12 +792,15 @@ def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token pair counts (functions/vocab.token_pair_counts) —
     the BPE-merge statistic at word granularity; min_count bounds the
-    result to the head of the pair distribution."""
+    result to the head of the pair distribution. min_count=5 BITES on
+    the sf0.001 fixture (hundreds of surviving pairs) — the r5 value of
+    100 returned 0 rows on both engines, a vacuous empty==empty oracle
+    row (r5 verdict item 2)."""
     _ensure_dist(spark)
     from jarvis_ocr_service_spark.functions.vocab import token_pair_counts
 
     docs = _tbl(spark, sf_dir, "documents")
-    return token_pair_counts(docs, min_count=100)
+    return token_pair_counts(docs, min_count=5)
 
 
 def _q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2017,7 +2020,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _duck_bpe_merges(8),
         "bpe_encode": _duck_bpe_encode(6),
         "top_tokens": _duck_top_tokens(50),
-        "token_pairs": _duck_token_pairs(100),
+        "token_pairs": _duck_token_pairs(5),
         "pack_assign": """
             WITH c AS (SELECT doc_id, n_chars,
                               CAST(sum(n_chars) OVER (ORDER BY doc_id)

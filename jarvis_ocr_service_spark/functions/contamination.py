@@ -114,7 +114,13 @@ def contamination_hits(
     membership). If the benchmark exceeds ``max_broadcast_grams``, the
     fallback plan explodes each document's gram hashes and equi-joins
     the (distinct) benchmark hash frame instead — one shuffle, bounded
-    executor memory, identical answers (same gram_hash64)."""
+    executor memory, identical answers (same gram_hash64).
+
+    ``key_col`` values must be UNIQUE document ids: the join fallback
+    counts hits per key, so duplicate keys would merge into one row
+    there while the broadcast path emits one row per input row — the
+    identical-answers guarantee between the two plans holds only for
+    unique keys (r5 ADVICE)."""
     spark = df.sparkSession
     bench = benchmark_gram_set(
         (r[0] for r in benchmark.select(bench_text_col).collect()), n
@@ -179,7 +185,15 @@ def _contamination_hits_join(
     document (distinct grams only — the same distinctness the counting
     semantics need), inner-join the benchmark hash frame on the hash,
     count per key, left-join zeros back. One shuffle for the join + one
-    for the count; no executor holds the benchmark in memory."""
+    for the count; no executor holds the benchmark in memory.
+
+    PRECONDITION: ``key_col`` values must be UNIQUE (they are document
+    ids). The count here aggregates by key, so duplicate keys would get
+    one merged n_hits row where the broadcast path emits independent
+    per-row counts — the two plans are interchangeable only under
+    unique keys. There is no stable per-row identity to carry instead
+    (monotonically_increasing_id is recomputation-unstable), so the
+    precondition is the contract, stated on the public API below."""
     key_field = df.schema[key_col]
     ex_schema = T.StructType(
         [

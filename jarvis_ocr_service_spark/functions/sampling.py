@@ -48,7 +48,7 @@ def _threshold_signed(rate: float) -> int:
     which overflows LongType — clamp to int64 max. The comparison is
     strict `<`, so the clamp excludes only the single hash value
     2^63-1 (P = 2^-64 per key): keep-everything callers should skip
-    the filter, and hash_sample does exactly that for rate >= 1.0."""
+    the filter, and hash_sample does exactly that at rate == 1.0."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
     return min(int(rate * _U64), _U64 - 1) - (1 << 63)
@@ -80,8 +80,10 @@ def hash_sample(
     salted key-hash falls under the rate threshold. Same key + salt ->
     same fate, everywhere, forever. Pure filter — no shuffle.
 
-    rate >= 1.0 is a no-op (keep everything) rather than a filter, so
-    the clamped threshold's 2^-64 edge never bites."""
+    rate == 1.0 is a no-op (keep everything) rather than a filter, so
+    the clamped threshold's 2^-64 edge never bites; rates outside
+    [0, 1] are rejected with ValueError (a silent clamp of >1.0 would
+    hide a caller bug)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
     if rate >= 1.0:

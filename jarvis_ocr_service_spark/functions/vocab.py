@@ -153,8 +153,11 @@ def bpe_encode(
 
     Plan: ONE projection — the k merges compile into k nested literal
     ``F.replace`` calls over the SEP-prefixed string form (same
-    leftmost-non-overlapping semantics as training), then two final
-    replaces strip the markers. Pure codegen, no shuffle, no Python."""
+    leftmost-non-overlapping semantics as training), then one final
+    replace strips the SEP markers and an rtrim drops the trailing
+    space. ``BPE_JOIN`` is retained INSIDE merged symbols by design —
+    it is the merge-boundary witness in the encoded output. Pure
+    codegen, no shuffle, no Python."""
     toks = _tokens(F.col(text_col))
     seq = F.when(
         F.size(toks) > 0,

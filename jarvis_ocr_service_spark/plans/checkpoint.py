@@ -95,6 +95,26 @@ def committed_batch_files(spark: SparkSession, manifest_path: str) -> dict:
     return {r.batch_id: list(r.files) for r in rows}
 
 
+def probe_committed_digests(keyed: DataFrame, seen: DataFrame) -> DataFrame:
+    """Drop ``keyed`` rows whose ``_digest`` appears in the committed
+    store ``seen`` — WITHOUT shuffling the store (the metastore-free
+    scale plan, r5 verdict item 7).
+
+    The naive ``keyed.join(seen, "_digest", "left_anti")`` shuffles the
+    WHOLE committed digest set every increment — O(corpus) per batch.
+    Inverted: the batch's digest set (bounded — one batch of distinct
+    digests) broadcasts into a LEFT SEMI probe of the store, which is
+    therefore scanned map-only (columnar 16 B/row, zero Exchange); the
+    hit set — at most one row per (matching digest × committed batch
+    it appears in, duplicates harmless to anti semantics) — broadcasts
+    back into the anti-join. Plan: two BroadcastHashJoins, ZERO
+    Exchanges (gated by test_checkpoint)."""
+    hits = seen.select("_digest").join(
+        F.broadcast(keyed.select("_digest")), "_digest", "left_semi"
+    )
+    return keyed.join(F.broadcast(hits), "_digest", "left_anti")
+
+
 def run_checkpointed(
     spark: SparkSession,
     input_path: str,
@@ -125,14 +145,24 @@ def run_checkpointed(
     and the underscore prefix keeps digest files invisible to readers of
     ``output_path``.
 
-    Scale: the default parquet-dir digest store re-shuffles the whole
-    committed digest set (16 B/row) on every batch's anti-join. Passing
-    ``digest_table`` (a saveAsTable name) switches the store to a table
-    BUCKETED on the digest (``digest_buckets``) and partitioned by
-    batch_id: the anti-join then shuffles only the (small) incoming
-    batch into the store's bucketing while the store side reads
-    in-place — the plan the 10^12-row corpus needs (asserted by
-    test_checkpoint's plan gate). Commit protocol, table form: appends
+    Scale: the default parquet-dir digest store is METASTORE-FREE and
+    ZERO-SHUFFLE (r5 verdict item 7). The probe inverts the join: the
+    incoming batch's digest set (bounded — one batch, sized by
+    ``files_per_batch``) broadcasts into a LEFT SEMI join against the
+    committed store, so the store is scanned map-only (16 B/row
+    columnar, never shuffled, row-group-prunable since digests are
+    written sorted); the resulting hit set is at most
+    |batch ∩ store| rows and broadcast back into the anti-join. Total
+    Exchanges on the store side: ZERO (asserted by test_checkpoint's
+    dir-form plan gate). Per-batch cost is one columnar scan of the
+    committed digests — the shuffle the old plan paid is gone, and no
+    catalog is required. Passing ``digest_table`` (a saveAsTable name)
+    instead uses a table BUCKETED on the digest (``digest_buckets``)
+    and partitioned by batch_id: the anti-join shuffles only the
+    (small) incoming batch into the store's bucketing while the store
+    side reads its buckets in-place — trades the dir form's store scan
+    for a batch-side shuffle when a persistent catalog/metastore
+    exists. Commit protocol, table form: appends
     into a batch_id partition; a crashed attempt leaves orphan rows in
     an UNCOMMITTED partition that is never read, and after a successful
     re-run the duplicate digest rows in that partition are harmless to
@@ -150,22 +180,6 @@ def run_checkpointed(
         from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
 
         pipeline_fn = run_pipeline
-
-    if dedup_against_committed and digest_table is None:
-        import warnings
-
-        warnings.warn(
-            "dedup_against_committed=True with the default parquet-dir "
-            "digest store re-reads and re-shuffles the WHOLE committed "
-            "digest set on every batch's anti-join — O(corpus) shuffle "
-            "per increment. Fine for bounded backfills; for a growing "
-            "10^12-row corpus pass digest_table=<name> to use the "
-            "bucketed+sorted store whose anti-join shuffles only the "
-            "incoming batch (the store side reads its buckets in-place; "
-            "requires a persistent catalog/metastore for cross-session "
-            "resume, which is why it is not auto-selected here).",
-            stacklevel=2,
-        )
 
     run_id = str(uuid.uuid4())
     files = list_input_files(spark, input_path)
@@ -193,99 +207,29 @@ def run_checkpointed(
             break
 
         batch_df = spark.read.parquet(*batch_files)
-        _batch_cache = None
-        if dedup_against_committed or digest_table is not None:
-            digest = F.md5(F.coalesce(F.col("html"), F.lit(b"")))
-            keyed = batch_df.withColumn("_digest", digest)
-            cols = batch_df.columns
-            # within-batch: deterministic min-url winner per digest (so a
-            # resumed run reproduces a one-shot run exactly)
-            keyed = (
-                keyed.groupBy("_digest")
-                .agg(F.min_by(F.struct(*cols), F.col("url")).alias("_row"))
-                .select("_digest", "_row.*")
+        # every per-batch persist lands here and is released in the
+        # finally below — an exception mid-batch must not leak cached
+        # frames for the life of the session (r5 ADVICE)
+        _batch_caches: List[DataFrame] = []
+        try:
+            _run_one_batch(
+                spark,
+                batch_df,
+                batch_id,
+                batch_files,
+                output_path,
+                manifest_path,
+                pipeline_fn,
+                dedup_against_committed,
+                digest_table,
+                digest_buckets,
+                committed_so_far,
+                run_id,
+                _batch_caches,
             )
-            committed_ids = sorted(committed_so_far & set(range(batch_id)))
-            if digest_table is not None:
-                # bucketed store: the anti-join shuffles only the batch
-                # into the store's bucketing; the store reads in-place
-                if committed_ids:
-                    seen = (
-                        spark.table(digest_table)
-                        .filter(F.col("batch_id").isin(committed_ids))
-                        .select("_digest")
-                    )
-                    keyed = keyed.join(seen, "_digest", "left_anti")
-                # ONE computation of the survivors feeds both the
-                # digest write (the materializing action) and the
-                # pipeline: persist the post-anti-join frame (bounded —
-                # one batch of rows), release after the batch commits.
-                # Without this the read + groupBy + anti-join recompute
-                # fully for the pipeline action, and any read
-                # nondeterminism could let the written digests drift
-                # from the rows actually processed (ADVICE r4).
-                keyed = keyed.persist()
-                _batch_cache = keyed
-                (
-                    keyed.select("_digest")
-                    .withColumn("batch_id", F.lit(batch_id).cast("long"))
-                    .write.mode("append")
-                    .partitionBy("batch_id")
-                    .bucketBy(int(digest_buckets), "_digest")
-                    .sortBy("_digest")
-                    .format("parquet")
-                    .saveAsTable(digest_table)
-                )
-            else:
-                if committed_ids:
-                    seen = spark.read.parquet(
-                        *[
-                            f"{output_path}/_digests/batch_id={i}"
-                            for i in committed_ids
-                        ]
-                    )
-                    keyed = keyed.join(seen, "_digest", "left_anti")
-                # same persist rationale as the table branch above
-                keyed = keyed.persist()
-                _batch_cache = keyed
-                keyed.select("_digest").write.mode("overwrite").parquet(
-                    f"{output_path}/_digests/batch_id={batch_id}"
-                )
-            batch_df = keyed.drop("_digest")
-        results = pipeline_fn(batch_df)
-        batch_out = f"{output_path}/batch_id={batch_id}"
-        results.write.mode("overwrite").parquet(batch_out)
-
-        # Counters from the written data (cheap columnar scan of 3 cols) —
-        # guarantees manifest counters describe exactly what landed.
-        agg = (
-            spark.read.parquet(batch_out)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("is_valid").cast("long")).alias("n_valid"),
-                F.sum(F.col("error_code").isNotNull().cast("long")).alias("n_error"),
-                F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
-            )
-            .collect()[0]
-        )
-        manifest_row = spark.createDataFrame(
-            [
-                (
-                    batch_id,
-                    batch_files,
-                    agg.n_rows,
-                    agg.n_valid or 0,
-                    agg.n_error or 0,
-                    agg.n_truncated or 0,
-                    run_id,
-                )
-            ],
-            "batch_id long, files array<string>, n_rows long, n_valid long,"
-            " n_error long, n_truncated long, run_id string",
-        ).withColumn("committed_at", F.current_timestamp())
-        manifest_row.write.mode("append").parquet(manifest_path)
-        if _batch_cache is not None:
-            _batch_cache.unpersist()
+        finally:
+            for c in _batch_caches:
+                c.unpersist()
         committed_so_far.add(batch_id)
         ran += 1
 
@@ -296,6 +240,128 @@ def run_checkpointed(
         "skipped_committed": skipped,
         "complete": skipped + ran == len(batches),
     }
+
+
+def _run_one_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    batch_files: List[str],
+    output_path: str,
+    manifest_path: str,
+    pipeline_fn: Callable[[DataFrame], DataFrame],
+    dedup_against_committed: bool,
+    digest_table: Optional[str],
+    digest_buckets: int,
+    committed_so_far: set,
+    run_id: str,
+    _batch_caches: List[DataFrame],
+) -> None:
+    """One batch: optional cross-run dedup, pipeline, idempotent data
+    write, manifest commit. Persisted frames are appended to
+    ``_batch_caches``; the caller releases them in a finally."""
+    if dedup_against_committed or digest_table is not None:
+        digest = F.md5(F.coalesce(F.col("html"), F.lit(b"")))
+        keyed = batch_df.withColumn("_digest", digest)
+        cols = batch_df.columns
+        # within-batch: deterministic min-url winner per digest (so a
+        # resumed run reproduces a one-shot run exactly)
+        keyed = (
+            keyed.groupBy("_digest")
+            .agg(F.min_by(F.struct(*cols), F.col("url")).alias("_row"))
+            .select("_digest", "_row.*")
+        )
+        committed_ids = sorted(committed_so_far & set(range(batch_id)))
+        if digest_table is not None:
+            # bucketed store: the anti-join shuffles only the batch
+            # into the store's bucketing; the store reads in-place
+            if committed_ids:
+                seen = (
+                    spark.table(digest_table)
+                    .filter(F.col("batch_id").isin(committed_ids))
+                    .select("_digest")
+                )
+                keyed = keyed.join(seen, "_digest", "left_anti")
+            # ONE computation of the survivors feeds both the
+            # digest write (the materializing action) and the
+            # pipeline: persist the post-anti-join frame (bounded —
+            # one batch of rows), release after the batch commits.
+            # Without this the read + groupBy + anti-join recompute
+            # fully for the pipeline action, and any read
+            # nondeterminism could let the written digests drift
+            # from the rows actually processed (ADVICE r4).
+            keyed = keyed.persist()
+            _batch_caches.append(keyed)
+            (
+                keyed.select("_digest")
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("append")
+                .partitionBy("batch_id")
+                .bucketBy(int(digest_buckets), "_digest")
+                .sortBy("_digest")
+                .format("parquet")
+                .saveAsTable(digest_table)
+            )
+        else:
+            # dir store, zero-shuffle probe: persist the within-batch-
+            # deduped frame FIRST so the broadcast digest set and the
+            # probe side materialize from the same cached data (the
+            # ADVICE-r4 determinism rationale), then persist the
+            # survivors so the digest write and the pipeline share one
+            # computation. Both caches are batch-bounded.
+            keyed = keyed.persist()
+            _batch_caches.append(keyed)
+            if committed_ids:
+                seen = spark.read.parquet(
+                    *[
+                        f"{output_path}/_digests/batch_id={i}"
+                        for i in committed_ids
+                    ]
+                )
+                keyed = probe_committed_digests(keyed, seen)
+                keyed = keyed.persist()
+                _batch_caches.append(keyed)
+            # sorted within the file: parquet row-group min/max stats on
+            # the digest column stay tight, so future point probes that
+            # push predicates prune most of the store
+            keyed.select("_digest").sortWithinPartitions(
+                "_digest"
+            ).write.mode("overwrite").parquet(
+                f"{output_path}/_digests/batch_id={batch_id}"
+            )
+        batch_df = keyed.drop("_digest")
+    results = pipeline_fn(batch_df)
+    batch_out = f"{output_path}/batch_id={batch_id}"
+    results.write.mode("overwrite").parquet(batch_out)
+
+    # Counters from the written data (cheap columnar scan of 3 cols) —
+    # guarantees manifest counters describe exactly what landed.
+    agg = (
+        spark.read.parquet(batch_out)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("is_valid").cast("long")).alias("n_valid"),
+            F.sum(F.col("error_code").isNotNull().cast("long")).alias("n_error"),
+            F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
+        )
+        .collect()[0]
+    )
+    manifest_row = spark.createDataFrame(
+        [
+            (
+                batch_id,
+                batch_files,
+                agg.n_rows,
+                agg.n_valid or 0,
+                agg.n_error or 0,
+                agg.n_truncated or 0,
+                run_id,
+            )
+        ],
+        "batch_id long, files array<string>, n_rows long, n_valid long,"
+        " n_error long, n_truncated long, run_id string",
+    ).withColumn("committed_at", F.current_timestamp())
+    manifest_row.write.mode("append").parquet(manifest_path)
 
 
 def read_committed(spark: SparkSession, output_path: str, manifest_path: str) -> DataFrame:

@@ -115,22 +115,31 @@ def _sidecar_params_guard(spark: SparkSession, bands_path: str, params: dict) ->
         out.close()
 
 
-def _committed_corpus_exists(spark: SparkSession, output_path: str) -> bool:
-    """True iff the prepare output holds at least one batch partition
-    with committed part files (same only-absent-means-nothing policy as
+def _committed_batch_ids(spark: SparkSession, path_str: str) -> set:
+    """Batch ids under ``path_str`` whose ``batch=<id>`` partition holds
+    committed part files (same only-absent-means-nothing policy as
     plans/checkpoint._manifest_exists)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(output_path)
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
     fs = path.getFileSystem(conf)
+    ids = set()
     if not fs.exists(path):
-        return False
+        return ids
     for st in fs.listStatus(path):
-        if st.isDirectory() and st.getPath().getName().startswith("batch="):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
             for f in fs.listStatus(st.getPath()):
                 if f.isFile() and f.getPath().getName().startswith("part-"):
-                    return True
-    return False
+                    ids.add(int(name[len("batch="):]))
+                    break
+    return ids
+
+
+def _committed_corpus_exists(spark: SparkSession, output_path: str) -> bool:
+    """True iff the prepare output holds at least one batch partition
+    with committed part files."""
+    return bool(_committed_batch_ids(spark, output_path))
 
 
 def run_stream_prepare(
@@ -222,7 +231,6 @@ def run_stream_prepare(
 
         from jarvis_ocr_service_spark.functions.dedup import (
             _shingled_with_signatures,
-            minhash_lsh_pairs_between_sh,
         )
 
         bands_path = f"{output_path}/_bands"
@@ -234,6 +242,63 @@ def run_stream_prepare(
             {"k": 3, "max_tokens": 2000,
              "num_hashes": int(neardup_num_hashes)},
         )
+        # batches committed while the flag was OFF have no sidecar rows
+        # and would silently sit outside the near-dup comparison set
+        # forever (r5 ADVICE): detect them and BACKFILL their sidecar
+        # partition by re-signaturing the committed text once —
+        # deterministic, batch-keyed idempotent overwrite, so a crashed
+        # backfill just redoes it. Steady-state cost is two dir
+        # listings per micro-batch.
+        missing = sorted(
+            (_committed_batch_ids(spark, output_path) - {int(batch_id)})
+            - _committed_batch_ids(spark, bands_path)
+        )
+        for mid in missing:
+            import warnings
+
+            warnings.warn(
+                f"prepare output batch={mid} was committed without a "
+                f"_bands sidecar (neardup_against_committed was off); "
+                "backfilling its signatures so it joins the near-dup "
+                "comparison set",
+                stacklevel=2,
+            )
+            committed_text = spark.read.parquet(
+                f"{output_path}/batch={mid}"
+            ).select("url", "text")
+            _write_batch_idempotent(
+                _shingled_with_signatures(
+                    committed_text, "text", "url", 3, 2000,
+                    neardup_num_hashes,
+                ),
+                bands_path,
+                mid,
+            )
+        # persisted frames land in _caches and are released in the
+        # finally — an exception mid-batch must not leak cached frames
+        # across retried micro-batches in a long-lived driver (r5
+        # ADVICE)
+        _caches = []
+        try:
+            _neardup_batch(
+                spark, scored, batch_id, output_path, bands_path,
+                neardup_num_hashes, neardup_bands, neardup_threshold,
+                neardup_max_bucket, _caches,
+            )
+        finally:
+            for c in _caches:
+                c.unpersist()
+
+    def _neardup_batch(
+        spark, scored, batch_id, output_path, bands_path,
+        neardup_num_hashes, neardup_bands, neardup_threshold,
+        neardup_max_bucket, _caches,
+    ):
+        from jarvis_ocr_service_spark.functions.dedup import (
+            _shingled_with_signatures,
+            minhash_lsh_pairs_between_sh,
+        )
+
         # persist the gated batch BEFORE signatures: the extraction
         # cascade + quality gate run once (materialized by the
         # batch_sh persist below), then the data write, the sidecar
@@ -242,6 +307,7 @@ def run_stream_prepare(
         # write (found by review; extraction is the dominant per-batch
         # cost)
         gated = scored.persist()
+        _caches.append(gated)
         scored = gated
         # the batch's (k, sh, sig) frame is computed ONCE — it is both
         # the left side of the near-dup join and (survivors only) this
@@ -249,6 +315,7 @@ def run_stream_prepare(
         batch_sh = _shingled_with_signatures(
             scored, "text", "url", 3, 2000, neardup_num_hashes
         ).persist()
+        _caches.append(batch_sh)
         if _committed_corpus_exists(spark, bands_path):
             # the committed corpus's signatures come from the sidecar —
             # a columnar (k, sh, sig) scan with band keys derived
@@ -279,6 +346,7 @@ def run_stream_prepare(
         # persist survivors so the data write and the sidecar write
         # share one extraction pass (write #1 materializes the cache)
         scored = scored.persist()
+        _caches.append(scored)
         _write_batch_idempotent(scored, output_path, batch_id)
         # sidecar gets ONLY the survivors (rows actually committed),
         # under the same batch-keyed idempotent overwrite as the data
@@ -286,9 +354,6 @@ def run_stream_prepare(
             scored.select(F.col("url").alias("k")), "k"
         )
         _write_batch_idempotent(survivor_sh, bands_path, batch_id)
-        batch_sh.unpersist()
-        scored.unpersist()
-        gated.unpersist()
 
     writer = (
         deduped.writeStream.foreachBatch(process_batch)

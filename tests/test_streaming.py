@@ -182,6 +182,81 @@ def test_stream_prepare_neardup_against_committed(spark, tmp_path):
     assert {r.k for r in bands.select("k").collect()} == got_urls
 
 
+def test_neardup_backfills_preflag_batches(spark, tmp_path):
+    """r5 ADVICE: batches committed while neardup_against_committed was
+    OFF have no _bands sidecar rows. Turning the flag on must not leave
+    them silently outside the comparison set forever — the run detects
+    them, warns, and BACKFILLS their sidecar partitions by
+    re-signaturing committed text once, after which near-dups of those
+    pre-flag docs are dropped."""
+    import warnings
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jarvis_ocr_service_spark.schema import PAGES_SCHEMA
+    from jarvis_ocr_service_spark.sources.pages import (
+        _html_page,
+        make_page,
+        synthesize_pages,
+    )
+    from jarvis_ocr_service_spark.streaming.stream import run_stream_prepare
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # phase 1: flag OFF — batches commit with NO sidecar
+    synthesize_pages(spark, 40, num_partitions=2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = run_stream_prepare(spark, src, out, ck, watermark="10 days")
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    import os
+
+    assert not os.path.exists(f"{out}/_bands")
+
+    # phase 2: flag ON — twins of phase-1 docs must be caught even
+    # though phase-1 batches predate the sidecar
+    twin_rows = []
+    for i in range(0, 40, 10):  # class-0 indices
+        p = make_page(i)
+        words = p["text"].split()
+        twin_text = " ".join(words[: 3 * len(words) // 4])
+        twin_rows.append(
+            {
+                "url": p["url"] + "-re",
+                "warc_ts": p["warc_ts"],
+                "html": _html_page(f"Doc {i} re", [twin_text]),
+                "text": twin_text,
+                "lang": p["lang"],
+            }
+        )
+    spark.createDataFrame(
+        pd.DataFrame(twin_rows), schema=PAGES_SCHEMA
+    ).write.mode("append").parquet(src)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        q2 = run_stream_prepare(
+            spark, src, out, ck, watermark="10 days",
+            neardup_against_committed=True, neardup_threshold=0.6,
+        )
+        q2.awaitTermination(180)
+    msgs = [str(x.message) for x in w]
+    assert any("backfill" in m for m in msgs), msgs
+
+    corpus = spark.read.parquet(out)
+    got_urls = {r.url for r in corpus.select("url").collect()}
+    assert not any(u.endswith("-re") for u in got_urls), got_urls
+    assert corpus.count() == n1
+    # the backfilled sidecar now covers the pre-flag batches too
+    bands = spark.read.parquet(f"{out}/_bands")
+    assert {r.k for r in bands.select("k").collect()} == got_urls
+
+
 def test_sidecar_params_guard(spark, tmp_path):
     """The _bands sidecar pins its signature params: same params pass,
     different params hard-error (stored signatures are not comparable —
