@@ -850,6 +850,56 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+def _q_bpe_merges_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level BPE merge learning (vocab.bpe_merges_char, r5
+    verdict item 1): k=8 rounds of greedy most-frequent within-word
+    symbol-pair merges weighted by word count, word-final symbols
+    carrying the end-of-word marker — the real GPT-2-style tokenizer
+    training step. Value-exact vs a MATERIALIZED chained-CTE DuckDB
+    mirror over the same word-count table."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import bpe_merges_char
+
+    docs = _tbl(spark, sf_dir, "documents").select("text")
+    return bpe_merges_char(docs, 8)
+
+
+def _q_bpe_encode_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level tokenizer apply (vocab.bpe_encode_char): learn 6
+    char merges, then encode every document in ONE pure-codegen
+    projection (char expansion + 6 nested literal replaces — no join,
+    no shuffle, no Python). The oracle derives the encoding by an
+    INDEPENDENT route: per-token join onto the trained word table's
+    final state, rejoined in document order — so the no-cross-boundary
+    global-replace argument is machine-checked, not just proved."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import (
+        bpe_encode_char,
+        bpe_merges_char,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in bpe_merges_char(docs.select("text"), 6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_encode_char(docs, merges)
+
+
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's shipping artifact (vocab.bpe_vocab): the symbol
+    vocabulary after 6 char-level merges with total corpus occurrence
+    counts — base alphabet + merged units, end-of-word variants
+    distinct."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import bpe_vocab
+
+    docs = _tbl(spark, sf_dir, "documents").select("text")
+    return bpe_vocab(docs, 6)
+
+
 def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Straddle-aware packing (functions/packing.pack_chunks): one row
     per (document, pack) intersection so packs are directly trainable;
@@ -1529,6 +1579,9 @@ QUERIES = {
     "pack_chunks": _q_pack_chunks,
     "bpe_merges": _q_bpe_merges,
     "bpe_encode": _q_bpe_encode,
+    "bpe_merges_char": _q_bpe_merges_char,
+    "bpe_encode_char": _q_bpe_encode_char,
+    "bpe_vocab": _q_bpe_vocab,
     "top_tokens": _q_top_tokens,
     "token_pairs": _q_token_pairs,
     "corpus_report": _q_corpus_report,
@@ -2019,6 +2072,9 @@ def oracle_sql() -> dict[str, str]:
         "size_histogram": _duck_size_histogram(),
         "bpe_merges": _duck_bpe_merges(8),
         "bpe_encode": _duck_bpe_encode(6),
+        "bpe_merges_char": _duck_bpe_merges_char(8),
+        "bpe_encode_char": _duck_bpe_encode_char(6),
+        "bpe_vocab": _duck_bpe_vocab(6),
         "top_tokens": _duck_top_tokens(50),
         "token_pairs": _duck_token_pairs(5),
         "pack_assign": """
@@ -2577,6 +2633,112 @@ def _duck_bpe_encode(k: int) -> str:
         FROM documents d LEFT JOIN enc e USING (doc_id)
     """
     )
+
+
+def _duck_bpe_char_chain(k: int) -> str:
+    """Chained-CTE prefix mirroring vocab._bpe_char_chain (char-level
+    BPE over the word-count table): w = exact word counts; s0 expands
+    each word to chr(31)-prefixed space-terminated CHARACTER symbols
+    with chr(2) end-of-word on the last char (regexp '(.)' with the
+    'g' flag — byte-identical to Spark's expansion, prototype-pinned);
+    p{r}/m{r}/s{r+1} are the word-level chain's pair-count / argmax /
+    replace rounds, with count(*) -> sum(n) (word-frequency weighting)
+    and the token carried through for the encode oracle's per-token
+    join. Every CTE MATERIALIZED (the 4^k inlining trap)."""
+    toks = _duck_py_tokens("lower(text)")
+    parts = [
+        f"""WITH w AS MATERIALIZED (
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({toks}) AS token FROM documents)
+            GROUP BY token
+        ),
+        s0 AS MATERIALIZED (
+            SELECT token,
+                   regexp_replace(
+                       regexp_replace(token, '(.)', chr(31) || '\\1 ', 'g'),
+                       ' $', chr(2) || ' ') AS seq,
+                   n
+            FROM w
+        )"""
+    ]
+    for r in range(k):
+        parts.append(f"""
+        p{r} AS MATERIALIZED (
+            SELECT p[1] AS a, p[2] AS b, CAST(sum(n) AS BIGINT) AS n FROM (
+                SELECT unnest(list_zip(arr[1:len(arr) - 2],
+                                       arr[2:len(arr) - 1])) AS p, n
+                FROM (SELECT string_split(seq, ' ') AS arr, n FROM s{r}) t
+            ) GROUP BY 1, 2
+        ),
+        m{r} AS MATERIALIZED (
+            SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+        ),
+        s{r + 1} AS MATERIALIZED (
+            SELECT token,
+                   replace(seq,
+                           coalesce((SELECT a FROM m{r}) || ' ' ||
+                                    (SELECT b FROM m{r}) || ' ', chr(0)),
+                           coalesce((SELECT a FROM m{r}) || chr(1) ||
+                                    substr((SELECT b FROM m{r}), 2) || ' ',
+                                    chr(0))) AS seq,
+                   n
+            FROM s{r}
+        )""")
+    return ",\n".join(parts)
+
+
+def _duck_bpe_merges_char(k: int) -> str:
+    """Mirror of vocab.bpe_merges_char — the k winning weighted merges."""
+    finals = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, substr(a, 2) AS sym_a,"
+        f" substr(b, 2) AS sym_b, CAST(n AS BIGINT) AS n FROM m{r}"
+        for r in range(k)
+    ]
+    return _duck_bpe_char_chain(k) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _duck_bpe_vocab(k: int) -> str:
+    """Mirror of vocab.bpe_vocab: split the chain's final word states,
+    strip chr(31) prefixes, weight by word count."""
+    return _duck_bpe_char_chain(k) + f""",
+        v AS (
+            SELECT unnest(arr[1:len(arr) - 1]) AS s, n
+            FROM (SELECT string_split(seq, ' ') AS arr, n FROM s{k}) t
+        )
+        SELECT substr(s, 2) AS symbol, CAST(sum(n) AS BIGINT) AS n
+        FROM v GROUP BY 1
+    """
+
+
+def _duck_bpe_encode_char(k: int) -> str:
+    """Mirror of bpe_merges_char(k) + bpe_encode_char — by a DIFFERENT
+    route than Spark's whole-document global replace: each document's
+    tokens join the trained word table's final symbol state and rejoin
+    in document order (parallel unnest + string_agg ORDER BY pos).
+    Merges never cross word boundaries, so the two derivations must
+    agree; token-less documents re-enter as (0, '') via the left
+    join."""
+    toks = _duck_py_tokens("lower(text)")
+    return _duck_bpe_char_chain(k) + f""",
+        tok AS (
+            SELECT doc_id, unnest({toks}) AS token,
+                   unnest(generate_series(1, len({toks}))) AS pos
+            FROM documents
+        ),
+        enc AS (
+            SELECT t.doc_id,
+                   string_agg(rtrim(replace(s.seq, chr(31), '')), ' '
+                              ORDER BY t.pos) AS encoded
+            FROM tok t JOIN s{k} s USING (token)
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id AS key,
+               CAST(CASE WHEN e.encoded IS NULL OR e.encoded = '' THEN 0
+                         ELSE len(string_split(e.encoded, ' ')) END
+                    AS BIGINT) AS n_symbols,
+               coalesce(e.encoded, '') AS encoded
+        FROM documents d LEFT JOIN enc e USING (doc_id)
+    """
 
 
 def _duck_top_tokens(k: int) -> str:

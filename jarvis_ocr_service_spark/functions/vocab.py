@@ -50,8 +50,9 @@ def top_tokens(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
 
 
 # BPE sequence encoding: every symbol is SEP + symbol + ' ' in one
-# document string; a merged symbol joins its halves with JOIN. Tokens
-# must not contain SEP/JOIN (they are control chars a whitespace-split
+# document string; a merged symbol joins its halves with JOIN; at
+# character granularity word-final symbols carry EOW. Tokens must not
+# contain SEP/JOIN/EOW (they are control chars a whitespace-split
 # token never legitimately carries; the py-token class guarantees no
 # spaces).
 BPE_SEP = "\x1f"
@@ -163,6 +164,166 @@ def bpe_encode(
         F.size(toks) > 0,
         F.concat(F.lit(BPE_SEP), F.array_join(toks, " " + BPE_SEP), F.lit(" ")),
     ).otherwise(F.lit(""))
+    for a, b in merges:
+        pat = BPE_SEP + a + " " + BPE_SEP + b + " "
+        rep = BPE_SEP + a + BPE_JOIN + b + " "
+        seq = F.replace(seq, F.lit(pat), F.lit(rep))
+    encoded = F.rtrim(F.replace(seq, F.lit(BPE_SEP), F.lit("")))
+    n_symbols = F.when(
+        encoded == "", F.lit(0)
+    ).otherwise(F.size(F.split(encoded, " "))).cast("long")
+    return df.select(
+        F.col(key_col).alias("key"),
+        n_symbols.alias("n_symbols"),
+        encoded.alias("encoded"),
+    )
+
+
+# Character-level BPE (GPT-2 / Sennrich-style): words expand to
+# SEP-prefixed character symbols, the word's LAST character carrying an
+# end-of-word marker so merges can learn word-final units ("ing" vs
+# "ing</w>"). Merges never cross word boundaries — training runs over
+# the word-TYPE table weighted by word counts (the classic trick: the
+# corpus collapses to its vocabulary after ONE shuffle, and every merge
+# round is a job over a vocab-sized frame, not the corpus).
+BPE_EOW = "\x02"
+
+
+def _char_seq_word(col):
+    """One WORD as a SEP-prefixed space-terminated character-symbol
+    string, last char carrying BPE_EOW: 'low' -> '\\x1fl \\x1fo
+    \\x1fw\\x02 '. Pure codegen (two regexp_replace)."""
+    ce = F.regexp_replace(col, "(.)", BPE_SEP + "$1 ")
+    return F.regexp_replace(ce, " $", BPE_EOW + " ")
+
+
+def _bpe_char_chain(df, k: int, text_col: str, min_count: int):
+    """Shared char-level BPE training loop. Returns (merges, final_seq)
+    where merges = [(round, sym_a, sym_b, n)] (SEP prefixes stripped)
+    and final_seq = the word-type table (token, seq, n) in its
+    post-merge state — bpe_merges_char reads the first, bpe_vocab the
+    second.
+
+    Plan: token_counts is the ONLY corpus-scale stage (explode + one
+    partial-agg shuffle); everything after runs over the vocab-sized
+    word table (Heaps' law: ~10^8 distinct words at 10^12 rows — a few
+    GB of strings, trivially partitionable). Each round: native
+    split/slice/zip pair counting weighted by word count, a 1-row
+    collect of the argmax, ONE literal replace, eager localCheckpoint
+    (the pagerank lineage rule)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    words = token_counts(df, text_col)
+    seq = words.select(
+        "token", _char_seq_word(F.col("token")).alias("seq"), "n"
+    ).localCheckpoint(eager=True)
+    merges = []
+    for rnd in range(int(k)):
+        arr = F.split(F.col("seq"), " ")
+        n_sym = F.size(arr) - 1  # split leaves a trailing ""
+        pairs = F.arrays_zip(
+            F.slice(arr, 1, F.greatest(n_sym - 1, F.lit(0))).alias("a"),
+            F.slice(arr, 2, F.greatest(n_sym - 1, F.lit(0))).alias("b"),
+        )
+        top = (
+            seq.select(F.explode(pairs).alias("p"), "n")
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n")
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].n < min_count:
+            break
+        a_sym, b_sym, n = top[0].a, top[0].b, int(top[0].n)
+        merges.append((rnd, a_sym[1:], b_sym[1:], n))
+        pat = a_sym + " " + b_sym + " "
+        rep = a_sym + BPE_JOIN + b_sym[1:] + " "
+        seq = seq.select(
+            "token", F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"), "n"
+        ).localCheckpoint(eager=True)
+    return merges, seq
+
+
+def bpe_merges_char(
+    df: DataFrame, k: int, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Learn the first ``k`` CHARACTER-level BPE merges (the real
+    GPT-2-style tokenizer-training step; r5 verdict item 1). Returns
+    ``(merge_round, sym_a, sym_b, n)`` — round r merged the globally
+    most-frequent adjacent within-word symbol pair, weighted by word
+    frequency, ties broken (n DESC, sym_a ASC, sym_b ASC). Word-final
+    symbols carry ``BPE_EOW``; merged halves join with ``BPE_JOIN``.
+    Stops early when no pair reaches ``min_count``.
+
+    Counting matches the classic reference algorithm exactly:
+    overlapping pair occurrences within a word all count ('aaa' gives
+    (a,a) twice), and the merge rewrite is leftmost-non-overlapping —
+    identical in Spark's literal replace, DuckDB's, and the
+    brute-force mirror (test_vocab pins round-for-round parity)."""
+    spark = df.sparkSession
+    merges, _ = _bpe_char_chain(df, k, text_col, min_count)
+    return spark.createDataFrame(
+        merges, "merge_round long, sym_a string, sym_b string, n long"
+    )
+
+
+def bpe_vocab(
+    df: DataFrame, k: int, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """The symbol vocabulary AFTER ``k`` char-level merges: ``(symbol,
+    n)`` — every surviving symbol (single chars, merged units, both
+    with/without the end-of-word marker) and its total corpus
+    occurrence count. This is the tokenizer's shipping artifact: base
+    alphabet + learned merges = the vocab an encoder needs.
+
+    Derived from the training chain's final word-type state: split each
+    word's symbol string, strip the SEP prefixes, weight by word count,
+    ONE vocab-sized shuffle."""
+    merges, seq = _bpe_char_chain(df, k, text_col, min_count)
+    arr = F.split(F.col("seq"), " ")
+    syms = F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
+    return (
+        seq.select(F.explode(syms).alias("s"), "n")
+        .select(F.expr("substring(s, 2)").alias("symbol"), "n")
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def bpe_encode_char(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned char-level merges to the corpus: ``(key,
+    n_symbols, encoded)`` — the document as space-joined symbols
+    (merged halves carry ``BPE_JOIN``, word-final symbols ``BPE_EOW``).
+
+    ``merges`` is the ordered [(sym_a, sym_b)] training output. Plan:
+    ONE pure-codegen projection — the whole document char-expands with
+    two regexp_replace (every char becomes a SEP-prefixed symbol; the
+    expanded inter-word space collapses into the preceding symbol's
+    end-of-word marker), then the k merges compile to k nested literal
+    replaces. No shuffle, no Python, no join — the scale path for
+    encoding 10^12 documents with a trained tokenizer.
+
+    Safe as a GLOBAL string replace because no learned pattern can
+    span a word boundary: a pair's first symbol is never word-final
+    (only last symbols carry BPE_EOW, and a word-final symbol is never
+    followed within its word), so the boundary text '<sym+EOW> <SEP>…'
+    never matches any '<SEP>a <SEP>b ' pattern. The DuckDB oracle
+    verifies this independently — it encodes per-TOKEN via a join onto
+    the trained word table and rejoins in document order."""
+    toks = _tokens(F.col(text_col))
+    joined = F.concat(F.array_join(toks, " "), F.lit(" "))
+    ce = F.regexp_replace(joined, "(.)", BPE_SEP + "$1 ")
+    # '<space><SEP><space><space>' is the char-expanded inter-word
+    # space plus the preceding symbol's terminator -> fold into EOW
+    seq = F.replace(ce, F.lit(" " + BPE_SEP + "  "), F.lit(BPE_EOW + " "))
+    seq = F.when(F.size(toks) > 0, seq).otherwise(F.lit(""))
     for a, b in merges:
         pat = BPE_SEP + a + " " + BPE_SEP + b + " "
         rep = BPE_SEP + a + BPE_JOIN + b + " "
