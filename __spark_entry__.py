@@ -947,6 +947,19 @@ def _q_change_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_change_flags(ev, key_col="user_id", ts_col="ts_us", value_col="state")
 
 
+def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer bigram LM quality with stupid backoff
+    (vocab.bigram_surprisal, r5 verdict item 4): first token scores
+    unigram surprisal, later tokens the conditional floor-log2 bucket
+    when the bigram reaches min_bigram_count=2, else penalty +
+    unigram — all-integer, so DuckDB reproduces every score exactly."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import bigram_surprisal
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return bigram_surprisal(docs)
+
+
 def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer unigram surprisal scoring (vocab.unigram_surprisal):
     CCNet-style LM quality proxy with floor-log2 integer buckets — the
@@ -1567,6 +1580,7 @@ QUERIES = {
     "hash_sample": _q_hash_sample,
     "dedup_lines": _q_dedup_lines,
     "unigram_surprisal": _q_unigram_surprisal,
+    "bigram_surprisal": _q_bigram_surprisal,
     "change_flags": _q_change_flags,
     "wordlist_flags": _q_wordlist_flags,
     "shuffle_order": _q_shuffle_order,
@@ -1684,6 +1698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from jarvis_ocr_service_spark.functions.report import (
+        size_bucket_duck_sql as size_bucket,
+    )
+
     norm = _duck_normalize("text")
     return {
         # The flagship's full UDF chain is oracle-checkable because the
@@ -2131,6 +2149,42 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER w = 1)
                    OR (state IS DISTINCT FROM lag(state) OVER w) AS changed
             FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, state)
+        """,
+        "bigram_surprisal": f"""
+            WITH t AS (SELECT doc_id,
+                              {_duck_py_tokens("lower(text)")} AS l
+                       FROM documents),
+            uni AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                    FROM (SELECT unnest(l) AS token FROM t) GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM uni),
+            ex AS (SELECT doc_id,
+                          unnest(list_prepend(CAST(NULL AS VARCHAR),
+                                              l[1:len(l) - 1])) AS a,
+                          unnest(l) AS b
+                   FROM t WHERE len(l) > 0),
+            big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+                    FROM ex WHERE a IS NOT NULL
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+            sc AS (SELECT e.doc_id,
+                          CASE
+                            WHEN e.a IS NULL THEN
+                              {size_bucket('tot.t // ub.n')}
+                            WHEN bg.n_ab IS NOT NULL THEN
+                              {size_bucket('ua.n // bg.n_ab')}
+                            ELSE 4 + {size_bucket('tot.t // ub.n')}
+                          END AS s
+                   FROM ex e
+                   CROSS JOIN tot
+                   JOIN uni ub ON ub.token = e.b
+                   LEFT JOIN uni ua ON ua.token = e.a
+                   LEFT JOIN big bg ON bg.a = e.a AND bg.b = e.b),
+            per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(sum(s) AS BIGINT) AS surprisal
+                    FROM sc GROUP BY 1)
+            SELECT d.doc_id AS key,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   coalesce(p.surprisal, 0) AS surprisal
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "unigram_surprisal": f"""
             WITH tok AS (SELECT doc_id,

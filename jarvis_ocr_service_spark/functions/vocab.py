@@ -397,6 +397,100 @@ def unigram_surprisal(
     return attach_cached(out, [counts])
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    backoff_penalty: int = 4,
+    min_bigram_count: int = 2,
+) -> DataFrame:
+    """Integer BIGRAM LM quality with backoff (r5 verdict item 4 — the
+    honest sandbox stand-in for CCNet's 5-gram KenLM perplexity
+    filter): ``(key, n_tokens, surprisal)`` where each document's
+    first token scores its unigram surprisal floor_log2(T div n_t)
+    (T = total corpus tokens) and every later token t_i scores the
+    CONDITIONAL surprisal floor_log2(n_{t_{i-1}} div n_{t_{i-1} t_i})
+    when the bigram reaches ``min_bigram_count`` in the corpus, else
+    ``backoff_penalty + floor_log2(T div n_{t_i})`` — the stupid-
+    backoff shape (penalty ≈ -log2 of the backoff weight) in the same
+    all-integer floor-log2 buckets as :func:`unigram_surprisal`, so
+    any engine computes identical scores. Zero-token documents report
+    (0, 0). Rare-after-common sequences score high; boilerplate
+    scores low.
+
+    ``min_bigram_count`` (default 2 — singletons pruned) is both the
+    LM practice and the scale requirement: at 10^12 tokens the
+    unpruned bigram table is dominated by singletons (near one per
+    corpus position), while the pruned table is vocabulary-like in
+    size. It is also what makes backoff REACHABLE when scoring the
+    counting corpus itself — unpruned, every document's bigrams are
+    by construction in the table and the backoff branch is dead.
+
+    Plan: the (prev, cur) pair stream is built JVM-side (prepend-NULL
+    + arrays_zip — no index lambdas, no Python); unigram and bigram
+    count tables each cost ONE partial-agg shuffle and are
+    corpus-vocabulary-bounded; both join the pair stream UNHINTED
+    (the decontaminate rule: a forced broadcast of a 10^8-row vocab
+    is the OOM hazard — AQE broadcasts when runtime size allows);
+    then one per-doc sum shuffle of (key, long) rows."""
+    from jarvis_ocr_service_spark.functions.report import size_bucket_col
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+    )
+    pairs = df.filter(F.size(toks) > 0).select(
+        F.col(key_col).alias("key"),
+        F.explode(F.arrays_zip(prev.alias("a"), toks.alias("b"))).alias("p"),
+    ).select("key", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+    uni = token_counts(df, text_col).persist()
+    total = uni.agg(F.sum("n")).collect()[0][0] or 0
+    big = token_pair_counts(df, text_col, min_count=min_bigram_count).select(
+        F.col("tok_a").alias("a"), F.col("tok_b").alias("b"),
+        F.col("n").alias("n_ab"),
+    )
+    uni_b = uni.select(F.col("token").alias("b"), F.col("n").alias("n_b"))
+    uni_a = uni.select(F.col("token").alias("a"), F.col("n").alias("n_a"))
+    # integer `div`, never float `/` — the floor-log2 bucket must see
+    # the exact integer quotient (a float ulp could flip a boundary)
+    s_uni_b = size_bucket_col(
+        F.expr(f"CAST({int(total)} AS BIGINT) div n_b")
+    )
+    scored = (
+        pairs.join(uni_b, "b")
+        .join(uni_a, "a", "left")
+        .join(big, ["a", "b"], "left")
+        .select(
+            "key",
+            F.when(F.col("a").isNull(), s_uni_b)
+            .when(
+                F.col("n_ab").isNotNull(),
+                size_bucket_col(F.expr("n_a div n_ab")),
+            )
+            .otherwise(F.lit(int(backoff_penalty)) + s_uni_b)
+            .alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("s").cast("long").alias("surprisal"),
+    )
+    out = (
+        df.select(F.col(key_col).alias("key"))
+        .join(per_doc, "key", "left")
+        .select(
+            "key",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("surprisal", F.lit(0)).cast("long").alias("surprisal"),
+        )
+    )
+    return attach_cached(out, [uni])
+
+
 def token_pair_counts(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -341,6 +341,87 @@ def test_unigram_surprisal_matches_brute_force(spark):
     assert per_tok[5] > per_tok[0]
 
 
+def _brute_bigram_surprisal(docs, penalty=4, min_big=2):
+    uni, raw = Counter(), Counter()
+    for _, t in docs:
+        toks = (t or "").lower().split()
+        uni.update(toks)
+        raw.update(zip(toks, toks[1:]))
+    big = {p: n for p, n in raw.items() if n >= min_big}
+    total = sum(uni.values())
+
+    def bucket(q):
+        return max(q, 1).bit_length() - 1
+
+    want = {}
+    for k, t in docs:
+        toks = (t or "").lower().split()
+        s = 0
+        for i, tk in enumerate(toks):
+            if i == 0:
+                s += bucket(total // uni[tk])
+            elif (toks[i - 1], tk) in big:
+                s += bucket(uni[toks[i - 1]] // big[(toks[i - 1], tk)])
+            else:
+                s += penalty + bucket(total // uni[tk])
+        want[k] = (len(toks), s)
+    return want
+
+
+def test_bigram_surprisal_matches_brute_force(spark):
+    from jarvis_ocr_service_spark.functions.vocab import bigram_surprisal
+
+    docs = DOCS + [(5, "rare unseen zebra xylophone")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.key: (r.n_tokens, r.surprisal)
+        for r in bigram_surprisal(df).collect()
+    }
+    assert got == _brute_bigram_surprisal(docs)
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+
+
+def test_bigram_surprisal_rare_beats_common(spark):
+    """A document of corpus-frequent bigrams scores lower per token
+    than one chaining the same tokens in never-seen orders."""
+    from jarvis_ocr_service_spark.functions.vocab import bigram_surprisal
+
+    base = [(i, "the cat sat on the mat") for i in range(20)]
+    docs = base + [(100, "mat the on sat cat the"), (101, "the cat sat on the mat")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.key: r.surprisal for r in bigram_surprisal(df).collect()}
+    assert got[100] > got[101]
+
+
+def test_bigram_surprisal_backoff_boundary(spark):
+    """The backoff branch fires EXACTLY on unseen bigrams: with
+    penalty=0 an unseen bigram of a common token still scores its
+    unigram surprisal (not the conditional), and raising the penalty
+    shifts ONLY documents containing unseen bigrams."""
+    from jarvis_ocr_service_spark.functions.vocab import bigram_surprisal
+
+    docs = [(i, "a b a b a b") for i in range(8)] + [(50, "b a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # doc 50's bigram (b, a) reaches min_bigram_count in the corpus
+    # (inside 'a b a b a b'), so no backoff anywhere: penalty must not
+    # matter
+    s0 = {r.key: r.surprisal for r in bigram_surprisal(df, backoff_penalty=0).collect()}
+    s9 = {r.key: r.surprisal for r in bigram_surprisal(df, backoff_penalty=9).collect()}
+    assert s0 == s9
+    # now add a doc with a SINGLETON bigram (a, c) — pruned by
+    # min_bigram_count=2, so the backoff branch fires on exactly it
+    docs2 = docs + [(60, "a c")]
+    df2 = spark.createDataFrame(docs2, "doc_id long, text string")
+    t0 = {r.key: r.surprisal for r in bigram_surprisal(df2, backoff_penalty=0).collect()}
+    t9 = {r.key: r.surprisal for r in bigram_surprisal(df2, backoff_penalty=9).collect()}
+    # doc 60: first token 'a' (no backoff) + pruned bigram (a, c): shift = 9
+    assert t9[60] - t0[60] == 9
+    # docs without pruned bigrams are untouched
+    assert t9[50] == t0[50] and t9[0] == t0[0]
+    assert t0 == {k: v[1] for k, v in _brute_bigram_surprisal(docs2, penalty=0).items()}
+    assert t9 == {k: v[1] for k, v in _brute_bigram_surprisal(docs2, penalty=9).items()}
+
+
 def test_plan_partial_agg_and_take_ordered(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     plan = top_tokens(df, 5)._jdf.queryExecution().executedPlan().toString()
