@@ -990,6 +990,27 @@ def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(docs, max_count=20)
 
 
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PARAGRAPH dedup (dedup.dedup_paragraphs — the
+    RefinedWeb blank-line-unit rule, r5 verdict item 5). Both sides
+    build multi-paragraph docs with the identical literal replace
+    (' data ' -> ' data\\n\\n'); at the default max_count=1 (the
+    C4/RefinedWeb rule: a paragraph seen twice anywhere is boilerplate)
+    ~50 corpus-repeated paragraphs vanish from every document at
+    either driver scale, unique ones survive in their original
+    order."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.dedup import dedup_paragraphs
+
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" data "), F.lit(" data\n\n")).alias(
+            "text"
+        ),
+    )
+    return dedup_paragraphs(docs)
+
+
 def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (sampling.
     shuffle_order): 0-based position in (salted-hash, key) order via
@@ -1579,6 +1600,7 @@ QUERIES = {
     "range_join_events": _q_range_join_events,
     "hash_sample": _q_hash_sample,
     "dedup_lines": _q_dedup_lines,
+    "dedup_paragraphs": _q_dedup_paragraphs,
     "unigram_surprisal": _q_unigram_surprisal,
     "bigram_surprisal": _q_bigram_surprisal,
     "change_flags": _q_change_flags,
@@ -2220,6 +2242,27 @@ def oracle_sql() -> dict[str, str]:
             k AS (SELECT l.* FROM l ANTI JOIN hot USING (line)),
             r AS (SELECT doc_id,
                          string_agg(line, chr(10) ORDER BY pos) AS text
+                  FROM k GROUP BY doc_id)
+            SELECT d.doc_id AS key, coalesce(r.text, '') AS text
+            FROM documents d LEFT JOIN r USING (doc_id)
+        """,
+        "dedup_paragraphs": """
+            WITH src AS (SELECT doc_id,
+                                replace(text, ' data ',
+                                        ' data' || chr(10) || chr(10)) AS t
+                         FROM documents),
+            l AS (SELECT doc_id,
+                         unnest(string_split(t, chr(10) || chr(10)))
+                             AS para,
+                         generate_subscripts(
+                             string_split(t, chr(10) || chr(10)), 1) AS pos
+                  FROM src),
+            hot AS (SELECT para FROM l WHERE para != ''
+                    GROUP BY para HAVING count(*) > 1),
+            k AS (SELECT l.* FROM l ANTI JOIN hot USING (para)),
+            r AS (SELECT doc_id,
+                         string_agg(para, chr(10) || chr(10)
+                                    ORDER BY pos) AS text
                   FROM k GROUP BY doc_id)
             SELECT d.doc_id AS key, coalesce(r.text, '') AS text
             FROM documents d LEFT JOIN r USING (doc_id)

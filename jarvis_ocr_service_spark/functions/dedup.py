@@ -114,6 +114,25 @@ def dedup_lines(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_count: int = 1,
+) -> DataFrame:
+    """Corpus-level PARAGRAPH dedup — :func:`dedup_lines` at the
+    blank-line unit (RefinedWeb removes exact duplicates at both
+    granularities; paragraph removal kills repeated licence blocks and
+    multi-line navigation that line dedup only shreds). Same shape:
+    posexplode on the literal '\\n\\n' separator, ONE hot-unit
+    shuffle, anti-join, in-order rebuild; all-boilerplate documents
+    come back as "" (reported, not dropped)."""
+    return dedup_lines(
+        df, text_col=text_col, key_col=key_col, max_count=max_count,
+        sep="\n\n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingling (shared by MinHash / Jaccard)
 # ---------------------------------------------------------------------------

@@ -79,6 +79,44 @@ def test_dedup_lines_corpus_rule(spark):
     assert got3 == {0: "keep me", 1: "other"}
 
 
+def test_dedup_paragraphs_unit_and_order(spark):
+    """RefinedWeb paragraph dedup: the unit is the blank-line-separated
+    paragraph (single newlines INSIDE a paragraph are content, not
+    separators), repeated paragraphs vanish everywhere, order and
+    paragraph structure are preserved."""
+    from jarvis_ocr_service_spark.functions.dedup import dedup_paragraphs
+
+    licence = "licensed under\nthe same terms"   # multi-LINE paragraph
+    docs = [
+        (0, f"intro one\n\n{licence}\n\nbody one"),
+        (1, f"{licence}\n\nbody two"),
+        (2, licence),                              # all boilerplate -> ""
+        (3, "solo paragraph\nwith two lines"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.key: r.text for r in dedup_paragraphs(df).collect()}
+    assert got == {
+        0: "intro one\n\nbody one",
+        1: "body two",
+        2: "",
+        3: "solo paragraph\nwith two lines",
+    }
+    # order preservation across many paragraphs under the parallel
+    # rebuild (positions shuffle through the explode + groupBy)
+    long_doc = "\n\n".join(f"para {i} text" for i in range(40))
+    df2 = spark.createDataFrame([(0, long_doc)], "doc_id long, text string")
+    assert dedup_paragraphs(df2).collect()[0].text == long_doc
+    # line dedup at max_count=1 would ALSO kill "body one"/"body two"?
+    # no — they are unique; but it WOULD split the licence paragraph
+    # into lines: paragraph dedup must treat it atomically, so a doc
+    # repeating only one LINE of the licence is untouched
+    df3 = spark.createDataFrame(
+        docs + [(4, "licensed under")], "doc_id long, text string"
+    )
+    got3 = {r.key: r.text for r in dedup_paragraphs(df3).collect()}
+    assert got3[4] == "licensed under"   # one line != the paragraph
+
+
 def test_word_shingles(spark):
     df = spark.createDataFrame([("a b c d",), ("x y",)], "t string")
     rows = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
