@@ -888,6 +888,43 @@ def _q_bpe_encode_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_char(docs, merges)
 
 
+def _q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer END product (vocab.bpe_encode_ids): learn 6 char
+    merges, build the frequency-ranked symbol table, emit every
+    document's integer token-id sequence (space-joined for the hash
+    compare — the library column is array<long>; the join-to-string is
+    a native array cast + array_join, no interpreted lambda). The
+    oracle re-derives merges, vocab ranking, AND per-token encoding in
+    DuckDB, so the whole learn->vocab->encode->ids chain is
+    value-checked end-to-end."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import (
+        bpe_encode_ids,
+        bpe_merges_char,
+        bpe_vocab,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in bpe_merges_char(docs.select("text"), 6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    symbols = [
+        r.symbol
+        for r in bpe_vocab(docs.select("text"), 6)
+        .orderBy(F.desc("n"), "symbol")
+        .collect()
+    ]
+    out = bpe_encode_ids(docs, merges, symbols)
+    return out.select(
+        "key",
+        "n_symbols",
+        F.array_join(F.col("ids").cast("array<string>"), " ").alias("ids"),
+    )
+
+
 def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer's shipping artifact (vocab.bpe_vocab): the symbol
     vocabulary after 6 char-level merges with total corpus occurrence
@@ -1618,6 +1655,7 @@ QUERIES = {
     "bpe_merges_char": _q_bpe_merges_char,
     "bpe_encode_char": _q_bpe_encode_char,
     "bpe_vocab": _q_bpe_vocab,
+    "bpe_encode_ids": _q_bpe_encode_ids,
     "top_tokens": _q_top_tokens,
     "token_pairs": _q_token_pairs,
     "corpus_report": _q_corpus_report,
@@ -2115,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges_char": _duck_bpe_merges_char(8),
         "bpe_encode_char": _duck_bpe_encode_char(6),
         "bpe_vocab": _duck_bpe_vocab(6),
+        "bpe_encode_ids": _duck_bpe_encode_ids(6),
         "top_tokens": _duck_top_tokens(50),
         "token_pairs": _duck_token_pairs(5),
         "pack_assign": """
@@ -2835,6 +2874,57 @@ def _duck_bpe_encode_char(k: int) -> str:
                     AS BIGINT) AS n_symbols,
                coalesce(e.encoded, '') AS encoded
         FROM documents d LEFT JOIN enc e USING (doc_id)
+    """
+
+
+def _duck_bpe_encode_ids(k: int) -> str:
+    """Mirror of the full tokenizer chain: merges -> frequency-ranked
+    vocab ids (row_number over (n DESC, symbol), 0-based) -> per-token
+    encode -> per-symbol id lookup, rejoined in document order."""
+    toks = _duck_py_tokens("lower(text)")
+    return _duck_bpe_char_chain(k) + f""",
+        v AS MATERIALIZED (
+            SELECT substr(s, 2) AS symbol,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(arr[1:len(arr) - 1]) AS s, n
+                FROM (SELECT string_split(seq, ' ') AS arr, n FROM s{k}) t
+            ) GROUP BY 1
+        ),
+        vid AS MATERIALIZED (
+            SELECT symbol,
+                   row_number() OVER (ORDER BY n DESC, symbol) - 1 AS id
+            FROM v
+        ),
+        tok AS (
+            SELECT doc_id, unnest({toks}) AS token,
+                   unnest(generate_series(1, len({toks}))) AS pos
+            FROM documents
+        ),
+        enc AS (
+            SELECT t.doc_id, t.pos,
+                   rtrim(replace(s.seq, chr(31), '')) AS wenc
+            FROM tok t JOIN s{k} s USING (token)
+        ),
+        sym AS (
+            SELECT doc_id, pos,
+                   unnest(string_split(wenc, ' ')) AS s,
+                   unnest(generate_series(1, len(string_split(wenc, ' '))))
+                       AS spos
+            FROM enc
+        ),
+        ids AS (
+            SELECT sym.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_symbols,
+                   string_agg(CAST(vid.id AS VARCHAR), ' '
+                              ORDER BY sym.pos, sym.spos) AS ids
+            FROM sym JOIN vid ON vid.symbol = sym.s
+            GROUP BY sym.doc_id
+        )
+        SELECT d.doc_id AS key,
+               coalesce(i.n_symbols, 0) AS n_symbols,
+               coalesce(i.ids, '') AS ids
+        FROM documents d LEFT JOIN ids i USING (doc_id)
     """
 
 

@@ -339,6 +339,61 @@ def bpe_encode_char(
     )
 
 
+def bpe_encode_ids(
+    df: DataFrame,
+    merges,
+    symbols,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """The tokenizer's END product: ``(key, n_symbols, ids)`` with
+    ``ids`` the document's integer token ids (array<long>) under an
+    explicit symbol table — ``symbols`` is an ordered list, id = list
+    position (the conventional frequency-rank assignment:
+    ``[r.symbol for r in bpe_vocab(df, k).orderBy(desc('n'),
+    'symbol').collect()]``). Symbols outside the table map to
+    ``unk_id``.
+
+    Plan: the char-level encode stays ONE codegen projection
+    (:func:`bpe_encode_char`), then the symbol->id lookup runs as ONE
+    Arrow stage with a plain dict in closure — encoded documents are
+    hundreds of symbols, i.e. past the >100-element threshold where an
+    interpreted ``F.transform`` lambda (never codegen, ~1 µs/element)
+    becomes the hot-path bottleneck; the vocabulary itself is bounded
+    (base alphabet + k merges), so the dict broadcast is bytes-scale.
+    No shuffle anywhere."""
+    from pyspark.sql import types as T
+
+    enc = bpe_encode_char(df, merges, text_col, key_col)
+    table = {s: i for i, s in enumerate(symbols)}
+    unk = int(unk_id)
+    key_field = enc.schema["key"]
+    out_schema = T.StructType(
+        [
+            T.StructField("key", key_field.dataType, key_field.nullable),
+            T.StructField("n_symbols", T.LongType(), True),
+            T.StructField("ids", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            ids = [
+                [table.get(s, unk) for s in e.split(" ")] if e else []
+                for e in b["encoded"]
+            ]
+            yield pd.DataFrame(
+                {"key": b["key"], "n_symbols": b["n_symbols"], "ids": ids}
+            )
+
+    return enc.mapInPandas(gen, schema=out_schema)
+
+
 def unigram_surprisal(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:

@@ -303,6 +303,49 @@ def test_bpe_vocab_matches_brute_force(spark):
     assert sum(k0.values()) == total_chars
 
 
+def test_bpe_encode_ids_matches_brute_force_and_unk(spark):
+    """Full tokenizer chain: ids == position of each encoded symbol in
+    the frequency-ranked vocab; symbols outside the table -> unk_id."""
+    from jarvis_ocr_service_spark.functions.vocab import (
+        bpe_encode_ids,
+        bpe_merges_char,
+        bpe_vocab,
+    )
+
+    docs = _corpus(40)
+    train = spark.createDataFrame([(d,) for d in docs], "text string")
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in bpe_merges_char(train, 6).orderBy("merge_round").collect()
+    ]
+    symbols = [
+        r.symbol
+        for r in bpe_vocab(train, 6)
+        .orderBy(F.desc("n"), "symbol")
+        .collect()
+    ]
+    table = {s: i for i, s in enumerate(symbols)}
+    _, final_seqs, _ = _brute_char_bpe(docs, 6)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.key: (r.n_symbols, list(r.ids))
+        for r in bpe_encode_ids(df, merges, symbols).collect()
+    }
+    for i, d in enumerate(docs):
+        syms = [s for w in d.lower().split() for s in final_seqs[w]]
+        assert got[i] == (len(syms), [table[s] for s in syms]), i
+    assert got[99] == (0, [])
+    # a document with characters the training corpus never saw -> unk
+    df2 = spark.createDataFrame([(0, "zzzz")], "doc_id long, text string")
+    row = bpe_encode_ids(df2, merges, symbols).collect()[0]
+    assert all(i == -1 for i in row.ids) and len(row.ids) == row.n_symbols
+    row7 = bpe_encode_ids(df2, merges, symbols, unk_id=7).collect()[0]
+    assert all(i == 7 for i in row7.ids)
+
+
 def test_bpe_encode_char_plan_is_single_projection(spark):
     df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
     plan = (
