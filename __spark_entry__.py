@@ -392,6 +392,46 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def _q_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-edge MinHash dedup (dedup.minhash_bucket_clusters): member ->
+    bucket-min-representative edges + signature-estimator trim + connected
+    components — the clique-size-proof route (see its docstring for why
+    the pair route is quadratic on templated corpora). Exact twins
+    (+100000) guarantee identical signatures, so the result is
+    non-vacuous by construction; natural near-dups that band-collide
+    join the clusters too. The oracle mirrors the ENTIRE algorithm —
+    md5 double-hashing signatures (DuckDB md5_number_upper/lower are
+    exactly the UDF's little-endian digest halves), band grouping, rep
+    selection, estimator filter, recursive-CTE components — the only
+    divergence class is an xxhash64 band-key collision between distinct
+    signature slices (~2^-64, deterministic)."""
+    from jarvis_ocr_service_spark.functions.dedup import (
+        minhash_bucket_clusters,
+    )
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )
+    clusters = minhash_bucket_clusters(
+        docs.unionByName(twins),
+        key_col="doc_id",
+        num_hashes=16,
+        bands=4,
+        k=3,
+        verify_threshold=0.7,
+        max_tokens=500,
+    )
+    return clusters.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jarvis_ocr_service_spark.functions.textstats import with_text_stats
 
@@ -1693,6 +1733,7 @@ QUERIES = {
     "minhash_signature": _q_minhash_signature,
     "ngram_jaccard": _q_ngram_jaccard,
     "dedup_clusters": _q_dedup_clusters,
+    "bucket_dedup": _q_bucket_dedup,
     "token_count": _q_token_count,
     "lang_id": _q_lang_id,
     "quality_score": _q_quality_score,
@@ -2107,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_pairs": _duck_simhash_pairs(10, "doc_id < 200"),
         "dedup_clusters": _duck_dedup_clusters(),
+        "bucket_dedup": _duck_bucket_dedup(16, 4, 0.7),
         "cosine_topk": _duck_cosine_topk(),
         "lsh_bucketed_topk": _duck_lsh_topk(4, 2),
         "embedding_near_dups": _duck_embedding_near_dups(0.999, 48, 6),
@@ -3077,6 +3119,88 @@ def _duck_image_phash(n: int = 60) -> str:
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(phash AS BIGINT) AS phash
         FROM (VALUES {values}) v(doc_id, phash)
+    """
+
+
+def _duck_bucket_dedup(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.7
+) -> str:
+    """Full-algorithm mirror of _q_bucket_dedup. DuckDB's
+    md5_number_upper/md5_number_lower are exactly the little-endian
+    uint64 halves the signature UDF reads from the raw digest
+    (upper = bytes 0-7 = h1, lower = bytes 8-15 = h2 — verified), so
+    sig_i = min(h1 + i*h2 mod 2^64) reproduces the numpy double-hashing
+    family bit-for-bit (HUGEINT arithmetic; equality comparisons are
+    sign-agnostic so the UDF's int64 reinterpretation is immaterial).
+    Band buckets group on the raw signature slice where Spark groups on
+    xxhash64(slice) — identical modulo a ~2^-64 xxhash collision."""
+    rows_per_band = num_hashes // bands
+    toks = _duck_py_tokens("text")
+    mod = "18446744073709551616"
+    sig_cols = ",\n                   ".join(
+        f"min((CAST(h1 AS HUGEINT) + {i} * CAST(h2 AS HUGEINT)) % {mod}) AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cs} FROM sig".format(
+            b=b,
+            cs=", ".join(
+                f"s{b * rows_per_band + j} AS c{j}"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    ckeys = ", ".join(f"c{j}" for j in range(rows_per_band))
+    eq_sum = " + ".join(
+        f"CAST(sa.s{i} = sb.s{i} AS INT)" for i in range(num_hashes)
+    )
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 80),
+        corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL SELECT doc_id + 100000, text FROM base),
+        t AS (SELECT doc_id, ({toks})[1:500] AS toks FROM corpus),
+        s AS (SELECT doc_id,
+                CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(
+                            generate_series(1, len(toks)-2),
+                            i -> array_to_string(toks[i:i+2], ' ')))
+                END AS sh
+              FROM t),
+        ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        hs AS (SELECT doc_id, md5_number_upper(g) AS h1,
+                      md5_number_lower(g) AS h2 FROM ex),
+        sig AS (SELECT doc_id,
+                   {sig_cols}
+                FROM hs GROUP BY doc_id),
+        banded AS (
+          {band_selects}),
+        reps AS (
+          SELECT band, {ckeys}, min(doc_id) AS rep
+          FROM banded GROUP BY band, {ckeys} HAVING count(*) >= 2),
+        cand AS (
+          SELECT DISTINCT r.rep AS key_a, b.doc_id AS key_b
+          FROM banded b JOIN reps r USING (band, {ckeys})
+          WHERE b.doc_id != r.rep),
+        verified AS (
+          SELECT key_a, key_b
+          FROM cand
+          JOIN sig sa ON sa.doc_id = key_a
+          JOIN sig sb ON sb.doc_id = key_b
+          WHERE CAST({eq_sum} AS DOUBLE) / {num_hashes} >= {threshold}),
+        edges AS (
+          SELECT key_a AS a, key_b AS b FROM verified
+          UNION ALL SELECT key_b, key_a FROM verified),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (
+          SELECT node, node AS root FROM nodes
+          UNION
+          SELECT e.b AS node, r.root
+          FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS key, min(root) AS cluster FROM reach GROUP BY node
     """
 
 

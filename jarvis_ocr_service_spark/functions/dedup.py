@@ -525,6 +525,104 @@ def drop_near_dups_against(
     )
 
 
+def minhash_bucket_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    verify_threshold: float = 0.0,
+    max_tokens: int = 2000,
+) -> DataFrame:
+    """Near-duplicate clusters WITHOUT pairwise materialization — the
+    trillion-row MinHash dedup shape (RefinedWeb / SlimPajama style).
+    Returns (key, cluster): every document that shares a band bucket
+    (transitively) with another is labeled with the minimum reachable
+    key; documents colliding with nothing are absent.
+
+    Why this exists next to :func:`minhash_lsh_pairs` + :func:`dup_clusters`:
+    the pair route materializes every intra-bucket pair, which is
+    quadratic in *cluster* size — a templated crawl corpus with
+    million-document boilerplate cliques turns a bounded bucket join
+    into ~w²/2 verified edges per clique and the connected-components
+    rounds then shuffle that edge set repeatedly (measured: a 1M-page
+    composed prepare run exhausted 75 GB of shuffle scratch in the CC
+    phase; the 300k run fit). Here each bucket of width w contributes
+    exactly w-1 edges (member -> bucket-min representative), so the CC
+    edge set is <= docs × bands REGARDLESS of clique structure, and no
+    ``max_bucket`` recall-losing guard is needed at all — a mega-bucket
+    is linear, not quadratic.
+
+    ``verify_threshold`` > 0 additionally drops member->rep edges whose
+    MinHash-ESTIMATED Jaccard (fraction of equal signature components —
+    the standard unbiased estimator, std ≈ sqrt(j(1-j)/num_hashes)) is
+    below the threshold. The estimate compares each member to its
+    bucket representative only, keeping verification linear; it is an
+    estimator, not the exact Jaccard of the pair route — at
+    ``num_hashes=16`` expect ±0.12 resolution, so thresholds here are
+    coarse knobs, and ``verify_threshold=1.0`` means "all components
+    equal" (identical shingle sets collide deterministically; distinct
+    sets pass only under a 2^-64-scale md5 coincidence). The equality
+    sum is unrolled over signature positions into plain codegen
+    comparisons — no interpreted higher-order function per element.
+
+    Semantics vs the pair route: bucket-transitivity is COARSER than
+    verified-pair-transitivity (two docs can share a bucket at Jaccard
+    below threshold; banding probability controls that: collision
+    p = 1-(1-j^r)^bands, r = num_hashes // bands). For dedup —
+    keep-one-per-cluster — this is the accepted trade at scale;
+    callers needing exact pair semantics use the pair route.
+    """
+    shingled = _shingled_with_signatures(
+        df, text_col, key_col, k, max_tokens, num_hashes
+    ).persist()
+    banded = band_keys_from_sig(shingled, num_hashes, bands)
+    reps = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.min("k").alias("rep"), F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    edges = (
+        banded.join(reps, ["band", "band_hash"])
+        .filter(F.col("k") != F.col("rep"))
+        .select(F.col("rep").alias("key_a"), F.col("k").alias("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    if verify_threshold > 0:
+        sig_only = shingled.select("k", "sig")
+        with_sigs = edges.join(
+            sig_only.select(
+                F.col("k").alias("key_a"), F.col("sig").alias("_sig_a")
+            ),
+            "key_a",
+        ).join(
+            sig_only.select(
+                F.col("k").alias("key_b"), F.col("sig").alias("_sig_b")
+            ),
+            "key_b",
+        )
+        eq_terms = [
+            F.when(
+                F.element_at("_sig_a", i + 1) == F.element_at("_sig_b", i + 1),
+                1,
+            ).otherwise(0)
+            for i in range(num_hashes)
+        ]
+        est = sum(eq_terms[1:], eq_terms[0]) / F.lit(float(num_hashes))
+        edges = with_sigs.filter(est >= verify_threshold).select(
+            "key_a", "key_b"
+        )
+    try:
+        # dup_clusters fully materializes its labels (per-round counts),
+        # so the shingle cache can be released as soon as it returns
+        clusters = dup_clusters(edges, key_a="key_a", key_b="key_b")
+    finally:
+        shingled.unpersist()
+    return clusters
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, blocked by shared shingle)
 # ---------------------------------------------------------------------------

@@ -41,6 +41,7 @@ def prepare_training_data(
     contamination_ngram: int = 13,
     blocklist=None,
     line_dedup_max_count: int = 0,
+    near_dup_mode: str = "pairs",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> deduplicated clean corpus.
 
@@ -55,7 +56,22 @@ def prepare_training_data(
     additionally removes every line repeated corpus-wide more than that
     many times from the surviving documents (dedup_lines — the
     C4/RefinedWeb boilerplate-line rule; n_tokens/quality reflect the
-    pre-line-dedup text, as in those pipelines)."""
+    pre-line-dedup text, as in those pipelines).
+
+    ``near_dup_mode`` selects the collapse strategy:
+      * ``"pairs"`` (default) — banded LSH candidate pairs, EXACT
+        shingle-Jaccard verification at ``near_dup_threshold``, then
+        connected components over the verified pair graph. Exact
+        semantics, but the pair graph is quadratic in clique size: a
+        templated corpus with w-document boilerplate cliques
+        materializes ~w²/2 edges per clique (a 1M-page run exhausted
+        75 GB of shuffle scratch in the CC phase; 300k fit).
+      * ``"buckets"`` — dedup.minhash_bucket_clusters: member→bucket-min
+        edges (≤ docs × bands total, linear regardless of clique
+        shape), signature-ESTIMATED Jaccard trim at the threshold.
+        Coarser semantics (bucket transitivity + estimator, see its
+        docstring) — the trade every trillion-row pipeline makes; use
+        it when the corpus has template-heavy mass."""
     from jarvis_ocr_service_spark.functions.dedup import (
         minhash_lsh_pairs,
         text_digest,
@@ -136,23 +152,38 @@ def prepare_training_data(
     from jarvis_ocr_service_spark.functions.dedup import dup_clusters
     from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
 
-    # dup_clusters iterates with actions, and the final anti-join reads
-    # `exact` again — persist it so extraction runs once, not per pass
+    # the cluster routes iterate with actions, and the final anti-join
+    # reads `exact` again — persist it so extraction runs once, not per pass
     exact = exact.persist()
-    # max_bucket: hot-band guard (minhash_lsh_pairs docstring) — without
-    # it a heavy shingle atom (templated boilerplate) makes the candidate
-    # join quadratic; 1000 keeps any single bucket's pair contribution
-    # under ~500k while real near-dup clusters (far smaller) are untouched
-    pairs = minhash_lsh_pairs(
-        exact, text_col="text", key_col="url",
-        verify_threshold=near_dup_threshold, max_bucket=1000,
-    )
-    clusters = dup_clusters(pairs, key_a="key_a", key_b="key_b")
+    if near_dup_mode == "buckets":
+        from jarvis_ocr_service_spark.functions.dedup import (
+            minhash_bucket_clusters,
+        )
+
+        clusters = minhash_bucket_clusters(
+            exact, text_col="text", key_col="url",
+            verify_threshold=near_dup_threshold,
+        )
+        carried = [exact] + carried_cached(clusters)
+    elif near_dup_mode == "pairs":
+        # max_bucket: hot-band guard (minhash_lsh_pairs docstring) — without
+        # it a heavy shingle atom (templated boilerplate) makes the candidate
+        # join quadratic; 1000 keeps any single bucket's pair contribution
+        # under ~500k while real near-dup clusters (far smaller) are untouched
+        pairs = minhash_lsh_pairs(
+            exact, text_col="text", key_col="url",
+            verify_threshold=near_dup_threshold, max_bucket=1000,
+        )
+        clusters = dup_clusters(pairs, key_a="key_a", key_b="key_b")
+        carried = [exact] + carried_cached(pairs) + carried_cached(clusters)
+    else:
+        raise ValueError(
+            f"near_dup_mode must be 'pairs' or 'buckets', got {near_dup_mode!r}"
+        )
     losers = (
         clusters.filter(F.col("key") != F.col("cluster"))
         .select(F.col("key").alias("url"))
     )
     return attach_cached(
-        finish(exact.join(losers, "url", "left_anti")),
-        [exact] + carried_cached(pairs) + carried_cached(clusters),
+        finish(exact.join(losers, "url", "left_anti")), carried,
     )

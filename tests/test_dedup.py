@@ -521,3 +521,105 @@ def test_minhash_between_hot_bucket_guard(spark):
     )
     assert uncapped.count() == 40
     assert capped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bucket-CC near-dup clusters (linear-edge mode)
+# ---------------------------------------------------------------------------
+
+def test_bucket_clusters_identical_docs_collapse(spark):
+    """Identical texts have identical shingle sets -> identical
+    signatures -> deterministic collision in every band; at
+    verify_threshold=1.0 only all-components-equal edges survive."""
+    from jarvis_ocr_service_spark.functions.dedup import minhash_bucket_clusters
+
+    t = "the quick brown fox jumps over the lazy dog near the river"
+    df = spark.createDataFrame(
+        [(0, t), (1, t), (2, t), (3, "totally different spark shuffle talk here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.key: r.cluster
+        for r in minhash_bucket_clusters(
+            df, key_col="doc_id", verify_threshold=1.0
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}  # doc 3 collides with nothing
+
+
+def test_bucket_clusters_near_dups_and_transitivity(spark):
+    """Bucket transitivity clusters near-dup chains; unrelated docs stay
+    out (deterministic: seeded md5 double-hashing family)."""
+    from jarvis_ocr_service_spark.functions.dedup import minhash_bucket_clusters
+
+    got = {
+        r.key: r.cluster
+        for r in minhash_bucket_clusters(
+            spark.createDataFrame(DOCS, "doc_id long, text string"),
+            key_col="doc_id",
+        ).collect()
+    }
+    # 0,1 exact dups; 2 and 5 one-word/suffix variants -> same cluster
+    assert got[0] == got[1] == 0
+    assert got.get(2) == 0 and got.get(5) == 0
+    assert 3 not in got and 4 not in got
+
+
+def test_bucket_clusters_mega_clique_is_linear_and_lossless(spark):
+    """The discriminating scale case: a 60-doc identical clique. The
+    pair route's hot-bucket guard (max_bucket=10) must DROP the bucket
+    (quadratic pair mass -> zero recall under the cap); the bucket-CC
+    route needs no guard — 59 member->rep edges, full collapse."""
+    from jarvis_ocr_service_spark.functions.dedup import (
+        minhash_bucket_clusters,
+        minhash_lsh_pairs,
+    )
+
+    t = "the same exact templated page body repeated everywhere forever"
+    df = spark.createDataFrame(
+        [(i, t) for i in range(60)], "doc_id long, text string"
+    )
+    assert minhash_lsh_pairs(df, verify_threshold=0.9, max_bucket=10).count() == 0
+    got = {
+        r.key: r.cluster
+        for r in minhash_bucket_clusters(
+            df, key_col="doc_id", verify_threshold=1.0
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_bucket_clusters_estimator_trims_false_bucket_mates(spark):
+    """verify_threshold on the signature estimator drops member->rep
+    edges whose estimated Jaccard is low even if one band collided."""
+    from jarvis_ocr_service_spark.functions.dedup import minhash_bucket_clusters
+
+    t = "the quick brown fox jumps over the lazy dog near the river"
+    df = spark.createDataFrame(
+        [(0, t), (1, t), (2, t + " bank today maybe")],
+        "doc_id long, text string",
+    )
+    loose = {
+        r.key for r in minhash_bucket_clusters(df, key_col="doc_id").collect()
+    }
+    strict = {
+        r.key
+        for r in minhash_bucket_clusters(
+            df, key_col="doc_id", verify_threshold=1.0
+        ).collect()
+    }
+    assert {0, 1} <= loose and 2 in loose  # variant collides in some band
+    assert strict == {0, 1}  # estimator 1.0 keeps only identical sets
+
+
+def test_bucket_clusters_no_dups_empty(spark):
+    from jarvis_ocr_service_spark.functions.dedup import minhash_bucket_clusters
+
+    df = spark.createDataFrame(
+        [
+            (0, "completely different content about spark query engines"),
+            (1, "another unrelated document mentioning parquet and arrow"),
+        ],
+        "doc_id long, text string",
+    )
+    assert minhash_bucket_clusters(df, key_col="doc_id").count() == 0

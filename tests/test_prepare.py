@@ -128,3 +128,41 @@ def test_prepare_blocklist_and_line_dedup(spark):
         assert got[r.url] == want, r.url
         changed += want != r.text
     assert changed > 0  # the rule actually bit somewhere
+
+
+def test_prepare_bucket_mode_matches_pair_mode_on_synthetic(spark):
+    """near_dup_mode='buckets' (linear-edge CC) collapses the synthetic
+    corpus at least as aggressively as the exact pair route here —
+    the synthetic near-dups are template twins (huge estimated Jaccard),
+    exactly the mass the bucket route exists for — and keeps the same
+    schema and exact-dup guarantees."""
+    pages = synthesize_pages(spark, 100, num_partitions=4)
+    dup = pages.withColumn("url", F.concat(F.col("url"), F.lit("-copy")))
+    both = pages.unionByName(dup)
+
+    pair_corpus = prepare_training_data(
+        both, min_quality=0.4, near_dup_threshold=0.85
+    )
+    bucket_corpus = prepare_training_data(
+        both, min_quality=0.4, near_dup_threshold=0.85,
+        near_dup_mode="buckets",
+    )
+    pair_urls = {r.url for r in pair_corpus.select("url").collect()}
+    bucket_rows = bucket_corpus.collect()
+    bucket_urls = {r.url for r in bucket_rows}
+    assert bucket_urls  # something survives
+    assert not any(u.endswith("-copy") for u in bucket_urls)
+    texts = [r.text for r in bucket_rows]
+    assert len(texts) == len(set(texts))  # exact-dup collapse intact
+    # bucket transitivity is coarser: it can only merge MORE than the
+    # verified pair graph on this corpus, never less
+    assert bucket_urls <= pair_urls
+
+
+def test_prepare_rejects_unknown_near_dup_mode(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="near_dup_mode"):
+        prepare_training_data(
+            synthesize_pages(spark, 10), near_dup_mode="nope"
+        )
