@@ -519,6 +519,41 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized integer k-means (functions/clustering.kmeans_assign):
+    k=4 centroids, 3 (assign, update) rounds, deterministic smallest-id
+    init, exact int64 distances. Oracle = chained MATERIALIZED CTEs
+    (one assignment + one centroid-update CTE per round — the pagerank
+    pattern); every number is integer-determined so the match is exact,
+    including the tie-break (ORDER BY dist2, cluster == numpy's
+    first-minimum argmin)."""
+    from jarvis_ocr_service_spark.functions.clustering import kmeans_assign
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=4, iters=3, scale=_EMB_SCALE)
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means blocking + within-cluster
+    quantized-cosine pruning, keep-lowest-id. Self-test corpus: every
+    vector unioned with an exact twin at vec_id+100000 — each twin has
+    cosine exactly 1.0 with its original, lands in the same cluster
+    (identical quantized coordinates), and must be dropped; the 500
+    originals all survive (max genuine pairwise cosine in the fixture
+    is ~0.51 < 0.99). Non-vacuous: output strictly smaller than
+    input."""
+    from jarvis_ocr_service_spark.functions.clustering import semdedup
+
+    emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return semdedup(
+        emb.unionByName(twins), k=4, iters=2, threshold=0.99,
+        scale=_EMB_SCALE,
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jarvis_ocr_service_spark.functions.dedup import simhash_near_pairs
 
@@ -1743,6 +1778,8 @@ QUERIES = {
     "lsh_bucketed_topk": _q_lsh_topk,
     "simhash_near_pairs": _q_simhash_pairs,
     "embedding_near_dups": _q_embedding_near_dups,
+    "kmeans_embeddings": _q_kmeans_embeddings,
+    "semdedup": _q_semdedup,
     "rolling_hash": _q_rolling_hash,
     "image_meta": _q_image_meta,
     "pixel_stats": _q_pixel_stats,
@@ -2152,6 +2189,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _duck_cosine_topk(),
         "lsh_bucketed_topk": _duck_lsh_topk(4, 2),
         "embedding_near_dups": _duck_embedding_near_dups(0.999, 48, 6),
+        "kmeans_embeddings": _duck_kmeans(4, 3),
+        "semdedup": _duck_semdedup(4, 2, 0.99),
         "rolling_hash": _duck_rolling_hash(),
         "truncate_flags": _duck_truncate_flags(),
         "pdf_extract": _duck_pdf_extract(),
@@ -3672,6 +3711,99 @@ def _duck_cos_q(dot: str, n2a: str, n2b: str) -> str:
 
 def _duck_plane_literal(plane) -> str:
     return "[" + ", ".join(str(int(x)) for x in plane) + "]"
+
+
+def _duck_kmeans_chain(k: int, iters: int, src_sql: str) -> str:
+    """WITH-clause body mirroring clustering.kmeans_assign round for
+    round: quantize+shift (truncating // == floor on the nonnegative
+    shifted ints, matching Spark's div), smallest-id init, per-round
+    assignment (tie-break ORDER BY dist2, cluster) and floor-mean
+    centroid update with empty-cluster carry-over. Every CTE is
+    MATERIALIZED — the chained-CTE-inlining 4^k lesson. Ends at
+    ``a_fin(vec_id, cluster, dist2)``, the final assignment."""
+    from jarvis_ocr_service_spark.functions.clustering import OFFSET
+
+    dim = _EMB_DIM
+    qv = (
+        f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+        f"{_EMB_SCALE}) AS BIGINT) + {OFFSET})"
+    )
+    dist = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"pts AS MATERIALIZED (SELECT vec_id, {qv} AS q FROM ({src_sql}))",
+        f"""c0 AS MATERIALIZED (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster,
+                   q AS c
+            FROM (SELECT vec_id, q FROM pts ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for r in range(iters):
+        parts.append(f"""a{r} AS MATERIALIZED (
+            SELECT vec_id, cluster FROM (
+              SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist2, cluster) AS rn
+              FROM (SELECT p.vec_id, c.cluster, {dist} AS dist2
+                    FROM pts p CROSS JOIN c{r} c)) WHERE rn = 1)""")
+        parts.append(f"""c{r + 1} AS MATERIALIZED (
+            SELECT prev.cluster, COALESCE(nw.c, prev.c) AS c
+            FROM c{r} prev LEFT JOIN (
+              SELECT cluster, list(cv ORDER BY i) AS c FROM (
+                SELECT a.cluster, s.i,
+                       CAST(SUM(p.q[s.i]) // COUNT(*) AS BIGINT) AS cv
+                FROM a{r} a JOIN pts p USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) s
+                GROUP BY 1, 2) GROUP BY cluster) nw USING (cluster))""")
+    parts.append(f"""a_fin AS MATERIALIZED (
+        SELECT vec_id, cluster, dist2 FROM (
+          SELECT vec_id, cluster, dist2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist2, cluster) AS rn
+          FROM (SELECT p.vec_id, c.cluster, {dist} AS dist2
+                FROM pts p CROSS JOIN c{iters} c)) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+def _duck_kmeans(k: int, iters: int) -> str:
+    chain = _duck_kmeans_chain(
+        k, iters, "SELECT vec_id, embedding FROM embeddings"
+    )
+    return f"""
+        WITH {chain}
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
+        FROM a_fin
+    """
+
+
+def _duck_semdedup(k: int, iters: int, threshold: float) -> str:
+    src = (
+        "SELECT vec_id, embedding FROM embeddings UNION ALL "
+        "SELECT vec_id + 100000, embedding FROM embeddings"
+    )
+    chain = _duck_kmeans_chain(k, iters, src)
+    return f"""
+        WITH {chain},
+        vqs AS MATERIALIZED (
+          SELECT vec_id, {_duck_quant_vec('embedding')} AS vq
+          FROM ({src})),
+        m AS MATERIALIZED (
+          SELECT a.vec_id, a.cluster, v.vq
+          FROM a_fin a JOIN vqs v ON a.vec_id = v.vec_id),
+        pr AS (SELECT b.vec_id AS did,
+                      {_duck_dot_q('a.vq', 'b.vq')} AS dot,
+                      {_duck_dot_q('a.vq', 'a.vq')} AS n2a,
+                      {_duck_dot_q('b.vq', 'b.vq')} AS n2b
+               FROM m a JOIN m b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        dropped AS (SELECT DISTINCT did FROM pr
+                    WHERE {_duck_cos_q('dot', 'n2a', 'n2b')}
+                          >= {threshold})
+        SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster
+        FROM m LEFT JOIN dropped d ON m.vec_id = d.did
+        WHERE d.did IS NULL
+    """
 
 
 def _duck_cosine_topk() -> str:
