@@ -554,6 +554,38 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (clustering.ivf_topk): k-means inverted lists (k=4,
+    2 fit rounds), probe the 2 centroid-nearest lists, exact quantized
+    cosine within them. Oracle = the kmeans chained-CTE mirror + probe
+    selection + the cosine_topk scoring SQL — the whole approximate
+    pipeline is deterministic, so Spark and DuckDB agree exactly
+    (including which neighbors the approximation misses)."""
+    from jarvis_ocr_service_spark.functions.clustering import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    return ivf_topk(
+        emb, qvec, k=10, n_clusters=4, iters=2, nprobe=2,
+        scale=_EMB_SCALE,
+    )
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (functions/importance.dsir_weights):
+    hashed unigram+bigram buckets (salted-md5 family, B=512), integer
+    floor-log2 LLR proxy of target-vs-raw bucket distributions.
+    Target = documents with doc_id % 10 == 0 (a deterministic
+    'high-quality' slice); raw = all documents. B=512 keeps bucket
+    collisions common on the fixture so the scoring actually mixes
+    gram kinds (non-vacuous)."""
+    from jarvis_ocr_service_spark.functions.importance import dsir_weights
+
+    docs = _tbl(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return dsir_weights(docs, target, n_buckets=512)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jarvis_ocr_service_spark.functions.dedup import simhash_near_pairs
 
@@ -1780,6 +1812,8 @@ QUERIES = {
     "embedding_near_dups": _q_embedding_near_dups,
     "kmeans_embeddings": _q_kmeans_embeddings,
     "semdedup": _q_semdedup,
+    "ivf_topk": _q_ivf_topk,
+    "dsir_weights": _q_dsir_weights,
     "rolling_hash": _q_rolling_hash,
     "image_meta": _q_image_meta,
     "pixel_stats": _q_pixel_stats,
@@ -2191,6 +2225,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _duck_embedding_near_dups(0.999, 48, 6),
         "kmeans_embeddings": _duck_kmeans(4, 3),
         "semdedup": _duck_semdedup(4, 2, 0.99),
+        "ivf_topk": _duck_ivf_topk(4, 2, 2, 10),
+        "dsir_weights": _duck_dsir_weights(512),
         "rolling_hash": _duck_rolling_hash(),
         "truncate_flags": _duck_truncate_flags(),
         "pdf_extract": _duck_pdf_extract(),
@@ -3803,6 +3839,92 @@ def _duck_semdedup(k: int, iters: int, threshold: float) -> str:
         SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster
         FROM m LEFT JOIN dropped d ON m.vec_id = d.did
         WHERE d.did IS NULL
+    """
+
+
+def _duck_ivf_topk(n_clusters: int, iters: int, nprobe: int, k: int) -> str:
+    """Mirror of clustering.ivf_topk: kmeans chain -> probe the nprobe
+    centroid-nearest clusters (tie-break lowest id, exact shifted-int
+    distances) -> quantized-cosine top-k over members of probed
+    clusters only."""
+    from jarvis_ocr_service_spark.functions.clustering import OFFSET
+
+    chain = _duck_kmeans_chain(
+        n_clusters, iters, "SELECT vec_id, embedding FROM embeddings"
+    )
+    qv_shift = (
+        f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+        f"{_EMB_SCALE}) AS BIGINT) + {OFFSET})"
+    )
+    cdist = (
+        f"CAST(list_sum(list_transform(generate_series(1, {_EMB_DIM}), "
+        f"i -> (c.c[i] - qs.qs[i]) * (c.c[i] - qs.qs[i]))) AS BIGINT)"
+    )
+    return f"""
+        WITH {chain},
+        qs AS MATERIALIZED (SELECT {qv_shift} AS qs
+                            FROM embeddings WHERE vec_id = 0),
+        probe AS MATERIALIZED (
+          SELECT cluster FROM (
+            SELECT c.cluster, {cdist} AS dist2
+            FROM c{iters} c CROSS JOIN qs)
+          ORDER BY dist2, cluster LIMIT {nprobe}),
+        q AS (SELECT {_duck_quant_vec('embedding')} AS qq
+              FROM embeddings WHERE vec_id = 0),
+        v AS (SELECT e.vec_id, {_duck_quant_vec('e.embedding')} AS vq
+              FROM embeddings e JOIN a_fin a ON e.vec_id = a.vec_id
+              WHERE a.cluster IN (SELECT cluster FROM probe)),
+        s AS (SELECT vec_id,
+                     {_duck_dot_q('vq', 'qq')} AS dot,
+                     {_duck_dot_q('vq', 'vq')} AS n2v,
+                     {_duck_dot_q('qq', 'qq')} AS n2q
+              FROM v, q)
+        SELECT vec_id, {_duck_cos_q('dot', 'n2v', 'n2q')} AS cos_sim
+        FROM s ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _duck_dsir_weights(n_buckets: int, salt: str = "dsir") -> str:
+    """Mirror of importance.dsir_weights: unigram+bigram grams over the
+    shared py-token class, salted-md5 bucket hash, integer floor-log2
+    add-one LLR proxy, target = doc_id % 10 == 0."""
+    from jarvis_ocr_service_spark.functions.report import (
+        size_bucket_duck_sql,
+    )
+    from jarvis_ocr_service_spark.functions.sampling import (
+        shifted_hash_duck_sql,
+    )
+
+    h = shifted_hash_duck_sql("gram", salt)
+    bucket = f"((({h}) % {n_buckets}) + {n_buckets}) % {n_buckets}"
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          {_duck_py_tokens("lower(text)")} AS l
+                   FROM documents),
+        g AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(list_concat(l,
+                   list_transform(generate_series(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i + 1]))) AS gram
+          FROM t),
+        b AS MATERIALIZED (
+          SELECT doc_id, {bucket} AS bucket FROM g),
+        cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_raw
+               FROM b GROUP BY 1),
+        ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_tgt
+               FROM b WHERE doc_id % 10 = 0 GROUP BY 1),
+        sc AS (SELECT r.bucket,
+                      {size_bucket_duck_sql('coalesce(t.c_tgt, 0) + 1')}
+                      - {size_bucket_duck_sql('r.c_raw + 1')} AS s
+               FROM cr r LEFT JOIN ct t USING (bucket)),
+        per AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(sum(sc.s) AS BIGINT) AS weight
+                FROM b JOIN sc USING (bucket) GROUP BY 1)
+        SELECT d.doc_id AS key,
+               CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(p.weight, 0) AS BIGINT) AS weight
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """
 
 

@@ -106,6 +106,65 @@ def _assign_np(
     return out_c, out_d
 
 
+def _fit_centroids(
+    pts: DataFrame, k: int, iters: int, chunk_rows: int
+) -> np.ndarray:
+    """Fit loop over the persisted quantized base: smallest-id init,
+    ``iters`` (assign, update) rounds; returns the (k, dim) int64
+    centroid matrix."""
+    init = pts.orderBy("id").limit(k).collect()  # TakeOrdered, k rows
+    if len(init) < k:
+        raise ValueError(f"k={k} but only {len(init)} points")
+    cent = np.array([r["q"] for r in init], dtype=np.int64)
+    dim = cent.shape[1]
+
+    for _ in range(iters):
+        cent_bc = cent  # closure capture (k*dim int64)
+
+        def partials(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = np.array(list(pdf["q"]), dtype=np.int64)
+                c, _ = _assign_np(q, cent_bc, chunk_rows)
+                for cl in np.unique(c):
+                    member = q[c == cl]
+                    yield pd.DataFrame(
+                        {
+                            "cluster": np.full(dim, cl, dtype=np.int64),
+                            "pos": np.arange(dim, dtype=np.int64),
+                            "s": member.sum(axis=0, dtype=np.int64),
+                            "n": np.full(dim, len(member), dtype=np.int64),
+                        }
+                    )
+
+        agg = (
+            pts.mapInPandas(
+                partials, schema="cluster long, pos long, s long, n long"
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum("n").alias("n"),  # same n per pos within a batch
+            )
+            .collect()
+        )  # exactly k*dim rows max
+        new_cent = cent.copy()
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in agg:
+            sums[r["cluster"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                counts[r["cluster"]] = r["n"]
+        for c in range(k):
+            if counts[c] > 0:  # empty cluster keeps previous centroid
+                new_cent[c] = sums[c] // counts[c]  # floor, nonneg
+        cent = new_cent
+    return cent
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int,
@@ -125,60 +184,7 @@ def kmeans_assign(
         raise ValueError("k >= 1 and iters >= 0 required")
     pts = _quantized_base(df, vec_col, id_col, scale).persist()
     try:
-        init = pts.orderBy("id").limit(k).collect()  # TakeOrdered, k rows
-        if len(init) < k:
-            raise ValueError(f"k={k} but only {len(init)} points")
-        cent = np.array([r["q"] for r in init], dtype=np.int64)
-        dim = cent.shape[1]
-
-        for _ in range(iters):
-            cent_bc = cent  # closure capture (k*dim int64)
-
-            def partials(
-                batches: Iterator[pd.DataFrame],
-            ) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    q = np.array(list(pdf["q"]), dtype=np.int64)
-                    c, _ = _assign_np(q, cent_bc, chunk_rows)
-                    for cl in np.unique(c):
-                        member = q[c == cl]
-                        yield pd.DataFrame(
-                            {
-                                "cluster": np.full(dim, cl, dtype=np.int64),
-                                "pos": np.arange(dim, dtype=np.int64),
-                                "s": member.sum(axis=0, dtype=np.int64),
-                                "n": np.full(
-                                    dim, len(member), dtype=np.int64
-                                ),
-                            }
-                        )
-
-            agg = (
-                pts.mapInPandas(
-                    partials, schema="cluster long, pos long, s long, n long"
-                )
-                .groupBy("cluster", "pos")
-                .agg(
-                    F.sum("s").alias("s"),
-                    F.sum("n").alias("n"),  # same n per pos within a batch
-                )
-                .collect()
-            )  # exactly k*dim rows max
-            new_cent = cent.copy()
-            sums = np.zeros((k, dim), dtype=np.int64)
-            counts = np.zeros(k, dtype=np.int64)
-            for r in agg:
-                sums[r["cluster"], r["pos"]] = r["s"]
-                if r["pos"] == 0:
-                    counts[r["cluster"]] = r["n"]
-            for c in range(k):
-                if counts[c] > 0:  # empty cluster keeps previous centroid
-                    new_cent[c] = sums[c] // counts[c]  # floor, nonneg
-            cent = new_cent
-
-        cent_fin = cent
+        cent_fin = _fit_centroids(pts, k, iters, chunk_rows)
 
         def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -199,6 +205,83 @@ def kmeans_assign(
         return out.withColumnRenamed("id", id_col)
     finally:
         pts.unpersist()
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """IVF approximate nearest neighbors: k-means the corpus into
+    ``n_clusters`` inverted lists, rank lists by centroid distance to
+    the query, score ONLY the ``nprobe`` nearest lists with the exact
+    quantized cosine (simsearch's deterministic scoring), top-k.
+
+    The scale path of the ANN family (FAISS's IndexIVF idea): brute
+    force scans the corpus per query; hyperplane LSH probes fixed
+    random buckets; IVF probes DATA-ADAPTIVE buckets, so recall per
+    candidate scanned is higher on clustered corpora. Scanned fraction
+    ~ nprobe/n_clusters. At production scale the assignment is
+    computed once and stored as a partition column (the inverted
+    file); queries then touch nprobe partitions — partition pruning
+    does the list selection.
+
+    Probe selection is driver-side exact int64 (centroid distance in
+    the shifted quantized space, tie-break lowest cluster id); scoring
+    matches cosine_topk_quantized bit-for-bit. Returns (id, cos_sim),
+    cos_sim descending, id ascending."""
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        _round_half_up,
+        quantized_cosine_col,
+        quantized_vec,
+    )
+
+    if nprobe < 1 or nprobe > n_clusters:
+        raise ValueError("1 <= nprobe <= n_clusters required")
+    pts = _quantized_base(df, vec_col, id_col, scale).persist()
+    try:
+        cent = _fit_centroids(pts, n_clusters, iters, chunk_rows)
+        qs = _quantize_shift_np(
+            np.array([query_vec], dtype=np.float64), scale
+        )[0]
+        d2 = ((cent - qs[None, :]) ** 2).sum(axis=1)
+        probe = np.lexsort((np.arange(n_clusters), d2))[:nprobe]
+        probe_set = set(int(c) for c in probe)
+        cent_fin = cent
+
+        def cand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = np.array(list(pdf["q"]), dtype=np.int64)
+                c, _ = _assign_np(q, cent_fin, chunk_rows)
+                keep = np.isin(c, list(probe_set))
+                yield pd.DataFrame({"id": pdf["id"].values[keep]})
+
+        ids = pts.mapInPandas(cand, schema="id long").localCheckpoint(
+            eager=True
+        )
+    finally:
+        pts.unpersist()
+
+    qq = [_round_half_up(float(x) * scale) for x in query_vec]
+    qlit = F.array(*[F.lit(v).cast("long") for v in qq])
+    scored = (
+        df.join(ids, F.col(id_col) == F.col("id")).select(
+            F.col(id_col),
+            quantized_cosine_col(
+                quantized_vec(F.col(vec_col), scale), qlit
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
 def semdedup(

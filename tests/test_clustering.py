@@ -107,6 +107,48 @@ def test_kmeans_offset_envelope_enforced(spark):
         kmeans_assign(df, k=2, iters=1).collect()
 
 
+def test_ivf_full_probe_equals_exact_topk(emb):
+    from jarvis_ocr_service_spark.functions.clustering import ivf_topk
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        cosine_topk_quantized,
+    )
+
+    qvec = emb.filter("vec_id = 0").first().embedding
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk(
+            emb, qvec, k=10, n_clusters=4, iters=2, nprobe=4
+        ).collect()
+    ]
+    exp = [
+        (r.vec_id, r.cos_sim)
+        for r in cosine_topk_quantized(emb, qvec, k=10).collect()
+    ]
+    assert got == exp  # probing every list == exact search
+
+
+def test_ivf_partial_probe_finds_self(emb):
+    from jarvis_ocr_service_spark.functions.clustering import ivf_topk
+
+    qvec = emb.filter("vec_id = 0").first().embedding
+    out = ivf_topk(emb, qvec, k=5, n_clusters=8, iters=2, nprobe=1).collect()
+    # the query IS vector 0: its own cluster is by definition the
+    # nearest list, so self must be found with cosine exactly 1.0
+    assert out[0].vec_id == 0
+    assert out[0].cos_sim == 1.0
+    assert len(out) == 5
+
+
+def test_ivf_nprobe_bounds(emb):
+    from jarvis_ocr_service_spark.functions.clustering import ivf_topk
+
+    qvec = emb.filter("vec_id = 0").first().embedding
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_topk(emb, qvec, n_clusters=4, nprobe=5)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_topk(emb, qvec, n_clusters=4, nprobe=0)
+
+
 def test_semdedup_drops_exact_twins_keeps_originals(emb):
     twins = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
