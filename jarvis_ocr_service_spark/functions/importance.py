@@ -51,22 +51,33 @@ from jarvis_ocr_service_spark.functions.sampling import _shifted
 from jarvis_ocr_service_spark.functions.tokens import py_tokens_col
 
 
-def hashed_grams_col(text_col, n_buckets: int, salt: str = "dsir"):
-    """array<long> of hashed-gram bucket ids (unigrams + adjacent
-    bigrams) for one document — pure Column expression."""
-    toks = py_tokens_col(text_col)
+def _gram_stream(
+    df: DataFrame, text_col: str, key_col: str
+) -> DataFrame:
+    """(key, gram) stream of unigrams + adjacent bigrams. Built as a
+    UNION of two explodes with the string assembly AFTER the explode
+    (plain codegen concat_ws on struct fields) — no interpreted
+    higher-order lambda ever maps over the token array (the
+    >100-element-array eval hazard; same shape as vocab's
+    token_pair_counts)."""
+    toks = py_tokens_col(F.col(text_col))
+    uni = df.select(
+        F.col(key_col).alias("key"), F.explode(toks).alias("gram")
+    )
     n = F.size(toks)
-    bigrams = F.transform(
-        F.arrays_zip(
-            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
-            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
-        ),
-        lambda z: F.concat_ws(" ", z["a"], z["b"]),
+    bi = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+                    F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .select("key", F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("gram"))
     )
-    return F.transform(
-        F.concat(toks, bigrams),
-        lambda g: F.pmod(_shifted(g, salt), F.lit(int(n_buckets))),
-    )
+    return uni.unionByName(bi)
 
 
 def dsir_weights(
@@ -89,11 +100,11 @@ def dsir_weights(
         raise ValueError("n_buckets >= 1 required")
 
     def grams(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(key_col).alias("key"),
-            F.explode(
-                hashed_grams_col(F.col(text_col), n_buckets, salt)
-            ).alias("bucket"),
+        return _gram_stream(df, text_col, key_col).select(
+            "key",
+            F.pmod(_shifted(F.col("gram"), salt), F.lit(int(n_buckets)))
+            .cast("long")
+            .alias("bucket"),
         )
 
     raw_grams = grams(raw)

@@ -156,3 +156,26 @@ def test_r5_ops_plan_shapes(spark):
     plan = _plan(pack_chunks(docs.select("doc_id", "n_chars"), 5000,
                              token_col="n_chars", num_partitions=4))
     assert "windowspecdefinition(_pid" in plan, plan[:2000]
+
+
+def test_r6_ops_plan_shapes(spark):
+    """Round-6 operator plan gates: DSIR's gram/hash path is pure
+    codegen (zero Python eval nodes — the bucket hash runs on the
+    EXPLODED gram column, never as an interpreted lambda over the
+    token array), both count aggs combine map-side, and no nested
+    loop appears; the score-table join stays UNHINTED (AQE decides).
+    semdedup's within-cluster pair join is an equi-join, never a
+    cartesian."""
+    from jarvis_ocr_service_spark.functions.clustering import semdedup
+    from jarvis_ocr_service_spark.functions.importance import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    plan = _plan(dsir_weights(docs, docs.filter(F.col("doc_id") % 10 == 0)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    plan = _plan(semdedup(emb, k=2, iters=1))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
