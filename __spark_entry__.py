@@ -555,17 +555,19 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (clustering.ivf_topk): k-means inverted lists (k=4,
+    """IVF ANN (clustering.ivf_topk_quantized): k-means inverted lists (k=4,
     2 fit rounds), probe the 2 centroid-nearest lists, exact quantized
     cosine within them. Oracle = the kmeans chained-CTE mirror + probe
     selection + the cosine_topk scoring SQL — the whole approximate
     pipeline is deterministic, so Spark and DuckDB agree exactly
     (including which neighbors the approximation misses)."""
-    from jarvis_ocr_service_spark.functions.clustering import ivf_topk
+    from jarvis_ocr_service_spark.functions.clustering import (
+        ivf_topk_quantized,
+    )
 
     emb = _tbl(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).first().embedding
-    return ivf_topk(
+    return ivf_topk_quantized(
         emb, qvec, k=10, n_clusters=4, iters=2, nprobe=2,
         scale=_EMB_SCALE,
     )
@@ -3843,7 +3845,7 @@ def _duck_semdedup(k: int, iters: int, threshold: float) -> str:
 
 
 def _duck_ivf_topk(n_clusters: int, iters: int, nprobe: int, k: int) -> str:
-    """Mirror of clustering.ivf_topk: kmeans chain -> probe the nprobe
+    """Mirror of clustering.ivf_topk_quantized: kmeans chain -> probe the nprobe
     centroid-nearest clusters (tie-break lowest id, exact shifted-int
     distances) -> quantized-cosine top-k over members of probed
     clusters only."""

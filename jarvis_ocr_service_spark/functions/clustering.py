@@ -207,7 +207,7 @@ def kmeans_assign(
         pts.unpersist()
 
 
-def ivf_topk(
+def ivf_topk_quantized(
     df: DataFrame,
     query_vec: List[float],
     k: int = 10,
@@ -219,10 +219,16 @@ def ivf_topk(
     scale: int = 1000,
     chunk_rows: int = 4096,
 ) -> DataFrame:
-    """IVF approximate nearest neighbors: k-means the corpus into
-    ``n_clusters`` inverted lists, rank lists by centroid distance to
-    the query, score ONLY the ``nprobe`` nearest lists with the exact
-    quantized cosine (simsearch's deterministic scoring), top-k.
+    """IVF approximate nearest neighbors, deterministic quantized form:
+    k-means the corpus into ``n_clusters`` inverted lists, rank lists
+    by centroid distance to the query, score ONLY the ``nprobe``
+    nearest lists with the exact quantized cosine (simsearch's
+    deterministic scoring), top-k.
+
+    The oracle-checkable twin of ``simsearch.ivf_topk`` (float Lloyd
+    steps, pure-JVM scoring — the fast library path), exactly as
+    ``cosine_topk_quantized`` twins ``cosine_topk``: float means are
+    not cross-engine-reproducible, this integer form is.
 
     The scale path of the ANN family (FAISS's IndexIVF idea): brute
     force scans the corpus per query; hyperplane LSH probes fixed

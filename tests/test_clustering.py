@@ -108,7 +108,9 @@ def test_kmeans_offset_envelope_enforced(spark):
 
 
 def test_ivf_full_probe_equals_exact_topk(emb):
-    from jarvis_ocr_service_spark.functions.clustering import ivf_topk
+    from jarvis_ocr_service_spark.functions.clustering import (
+        ivf_topk_quantized,
+    )
     from jarvis_ocr_service_spark.functions.simsearch import (
         cosine_topk_quantized,
     )
@@ -116,7 +118,7 @@ def test_ivf_full_probe_equals_exact_topk(emb):
     qvec = emb.filter("vec_id = 0").first().embedding
     got = [
         (r.vec_id, r.cos_sim)
-        for r in ivf_topk(
+        for r in ivf_topk_quantized(
             emb, qvec, k=10, n_clusters=4, iters=2, nprobe=4
         ).collect()
     ]
@@ -128,10 +130,12 @@ def test_ivf_full_probe_equals_exact_topk(emb):
 
 
 def test_ivf_partial_probe_finds_self(emb):
-    from jarvis_ocr_service_spark.functions.clustering import ivf_topk
+    from jarvis_ocr_service_spark.functions.clustering import (
+        ivf_topk_quantized,
+    )
 
     qvec = emb.filter("vec_id = 0").first().embedding
-    out = ivf_topk(emb, qvec, k=5, n_clusters=8, iters=2, nprobe=1).collect()
+    out = ivf_topk_quantized(emb, qvec, k=5, n_clusters=8, iters=2, nprobe=1).collect()
     # the query IS vector 0: its own cluster is by definition the
     # nearest list, so self must be found with cosine exactly 1.0
     assert out[0].vec_id == 0
@@ -140,13 +144,15 @@ def test_ivf_partial_probe_finds_self(emb):
 
 
 def test_ivf_nprobe_bounds(emb):
-    from jarvis_ocr_service_spark.functions.clustering import ivf_topk
+    from jarvis_ocr_service_spark.functions.clustering import (
+        ivf_topk_quantized,
+    )
 
     qvec = emb.filter("vec_id = 0").first().embedding
     with pytest.raises(ValueError, match="nprobe"):
-        ivf_topk(emb, qvec, n_clusters=4, nprobe=5)
+        ivf_topk_quantized(emb, qvec, n_clusters=4, nprobe=5)
     with pytest.raises(ValueError, match="nprobe"):
-        ivf_topk(emb, qvec, n_clusters=4, nprobe=0)
+        ivf_topk_quantized(emb, qvec, n_clusters=4, nprobe=0)
 
 
 def test_semdedup_drops_exact_twins_keeps_originals(emb):
