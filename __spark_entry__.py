@@ -573,6 +573,41 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage removal (dedup.dedup_ngram_spans, the
+    Lee-et-al-2022 rule at token granularity): every 8-token window
+    occurring >= 2 times corpus-wide is cut from every document. The
+    synthetic corpus is template-heavy, so the rule bites hard (most
+    docs lose their boilerplate spans); removal is reported via
+    n_removed. Oracle compares LITERAL grams where Spark compares
+    blake2b-64 hashes — equivalence up to a documented ~2^-64
+    collision class (the bucket_dedup caveat)."""
+    from jarvis_ocr_service_spark.functions.dedup import dedup_ngram_spans
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_ngram_spans(docs, k=8, min_count=2)
+
+
+def _q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection (sampling.select_to_budget): rank docs by
+    score (n_chars here; any integer quality signal), keep the greedy
+    prefix whose cumulative token count fits 10k tokens — a strict
+    subset at both driver scales (sf0.01 totals ~27k tokens). Oracle = the
+    naive 1-task global window the two-phase implementation avoids."""
+    from jarvis_ocr_service_spark.functions.sampling import select_to_budget
+    from jarvis_ocr_service_spark.functions.tokens import py_tokens_col
+
+    docs = _tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("key"),
+        F.col("n_chars").cast("long").alias("score"),
+        F.size(py_tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    return select_to_budget(
+        base, 10000, size_col="n_toks", score_col="score", key_col="key"
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (functions/importance.dsir_weights):
     hashed unigram+bigram buckets (salted-md5 family, B=512), integer
@@ -1816,6 +1851,8 @@ QUERIES = {
     "semdedup": _q_semdedup,
     "ivf_topk": _q_ivf_topk,
     "dsir_weights": _q_dsir_weights,
+    "select_budget": _q_select_budget,
+    "dedup_spans": _q_dedup_spans,
     "rolling_hash": _q_rolling_hash,
     "image_meta": _q_image_meta,
     "pixel_stats": _q_pixel_stats,
@@ -2229,6 +2266,20 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _duck_semdedup(4, 2, 0.99),
         "ivf_topk": _duck_ivf_topk(4, 2, 2, 10),
         "dsir_weights": _duck_dsir_weights(512),
+        "dedup_spans": _duck_dedup_spans(8, 2),
+        "select_budget": f"""
+            WITH t AS (SELECT doc_id AS key,
+                              CAST(n_chars AS BIGINT) AS score,
+                              CAST(len({_duck_py_tokens("lower(text)")})
+                                   AS BIGINT) AS n_toks
+                       FROM documents),
+            c AS (SELECT key, score, n_toks,
+                         CAST(sum(n_toks) OVER (ORDER BY score DESC, key)
+                              AS BIGINT) AS cum_size
+                  FROM t)
+            SELECT key, score, n_toks, cum_size
+            FROM c WHERE cum_size <= 10000
+        """,
         "rolling_hash": _duck_rolling_hash(),
         "truncate_flags": _duck_truncate_flags(),
         "pdf_extract": _duck_pdf_extract(),
@@ -3883,6 +3934,52 @@ def _duck_ivf_topk(n_clusters: int, iters: int, nprobe: int, k: int) -> str:
               FROM v, q)
         SELECT vec_id, {_duck_cos_q('dot', 'n2v', 'n2q')} AS cos_sim
         FROM s ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _duck_dedup_spans(k: int, min_count: int) -> str:
+    """Mirror of dedup.dedup_ngram_spans — on LITERAL grams (DuckDB
+    groups the gram strings; Spark groups blake2b-64 hashes of the
+    same strings — identical answers absent a ~2^-64 collision).
+    Case-preserving whitespace tokens; parallel unnests zip the
+    position and gram streams; covered = union of [pos, pos+k)."""
+    toks = (
+        "list_filter(regexp_split_to_array(trim(coalesce(text, '')), "
+        "'\\s+'), x -> x != '')"
+    )
+    npos = f"greatest(len(l) - {k} + 1, 0)"
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS l FROM documents),
+        g AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(generate_series(1, {npos})) AS pos,
+                 unnest(list_transform(generate_series(1, {npos}),
+                        i -> array_to_string(l[i:i + {k} - 1], ' ')))
+                     AS gram
+          FROM t),
+        dup AS (SELECT gram FROM g GROUP BY 1
+                HAVING count(*) >= {min_count}),
+        cov AS (SELECT DISTINCT doc_id,
+                       unnest(generate_series(pos, pos + {k} - 1)) AS idx
+                FROM g JOIN dup USING (gram)),
+        e AS (SELECT doc_id,
+                     unnest(generate_series(1, len(l))) AS idx,
+                     unnest(l) AS tok
+              FROM t),
+        r AS (SELECT e.doc_id,
+                     coalesce(string_agg(e.tok, ' ' ORDER BY e.idx)
+                              FILTER (WHERE c.idx IS NULL), '')
+                         AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(c.idx) AS BIGINT) AS n_removed
+              FROM e LEFT JOIN cov c
+                ON e.doc_id = c.doc_id AND e.idx = c.idx
+              GROUP BY e.doc_id)
+        SELECT d.doc_id AS key,
+               coalesce(r.clean_text, '') AS clean_text,
+               CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+        FROM documents d LEFT JOIN r USING (doc_id)
     """
 
 

@@ -1101,3 +1101,127 @@ def simhash_near_pairs(
     return hamming_band_pairs(
         sigs, max_hamming=max_hamming, bands=bands, max_bucket=max_bucket
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-passage removal (n-gram span dedup)
+# ---------------------------------------------------------------------------
+
+def spans_tokens_py(text) -> list:
+    """THE pinned token class for span dedup: case-preserving
+    whitespace split (drop empties) — literal duplication detection,
+    like dedup_lines' literal lines (and unlike the lowercased
+    contamination grams: a recased copy is a different passage here)."""
+    return (text or "").split()
+
+
+def dedup_ngram_spans(
+    df: DataFrame,
+    k: int = 13,
+    min_count: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level exact duplicated-passage removal: every k-token
+    window whose literal text occurs >= ``min_count`` times in the
+    corpus is removed from EVERY document (all covered token positions
+    cut; survivors rejoin with single spaces). The spirit of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — suffix-array substring dedup at ~50
+    BPE tokens), at the engine's token granularity and with the
+    every-occurrence rule this repo's dedup_lines already pins
+    (removal is reported, not silent: ``n_removed`` counts cut
+    tokens). Returns (key, clean_text, n_tokens, n_removed).
+
+    Pinned semantics: tokens = :func:`spans_tokens_py` (case-
+    preserving whitespace split — output text is therefore whitespace-
+    NORMALIZED, the packing/tokenizer-input form); windows are every
+    position (exact, not sampled — ``winnow_near_pairs`` is the
+    sampled alternative when the full window stream is too dear);
+    docs with < k tokens emit no windows and survive whole.
+
+    Plan: one Arrow map stage emits (key, pos, gram-hash) — 8-byte
+    blake2b-64 hashes (contamination's pinned gram_hash64), never the
+    gram strings, so the ONE count shuffle carries ~16 B/token
+    (that is the honest cost of EXACT span dedup without a
+    distributed suffix array; the Zipf head is absorbed map-side by
+    partial aggregation). Duplicated hashes join back AQE-unhinted
+    (collision-bounded, usually broadcast), covered positions
+    aggregate per doc (bounded by doc length), and one final Arrow
+    stage rebuilds the text. Hash equality stands in for literal
+    equality (the oracle compares literal grams): a blake2b-64
+    collision (~2^-64 per distinct-gram pair) could over-remove — the
+    bucket_dedup caveat class, documented."""
+    from jarvis_ocr_service_spark.functions.contamination import gram_hash64
+
+    if k < 1 or min_count < 1:
+        raise ValueError("k >= 1 and min_count >= 1 required")
+
+    def signed64(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    src = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("_t"))
+
+    def gram_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, poss, hs = [], [], []
+            for key, text in zip(pdf["key"], pdf["_t"]):
+                toks = spans_tokens_py(text)
+                for i in range(len(toks) - k + 1):
+                    keys.append(key)
+                    poss.append(i)
+                    hs.append(signed64(gram_hash64(" ".join(toks[i : i + k]))))
+            yield pd.DataFrame(
+                {
+                    "key": pd.array(keys, dtype="Int64"),
+                    "pos": pd.array(poss, dtype="Int64"),
+                    "h": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    grams = src.mapInPandas(gram_rows, schema="key long, pos long, h long")
+    grams = grams.persist()  # count + position join share one computation
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= int(min_count))
+        .select("h")
+    )
+    dup_pos = (
+        grams.join(dup, "h")
+        .groupBy("key")
+        .agg(F.collect_list("pos").alias("_dups"))
+    )
+    joined = src.join(dup_pos, "key", "left")
+
+    def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, cleans, ntoks, nrem = [], [], [], []
+            for key, text, dups in zip(pdf["key"], pdf["_t"], pdf["_dups"]):
+                toks = spans_tokens_py(text)
+                covered = set()
+                if dups is not None and len(dups):
+                    for p in dups:
+                        covered.update(range(int(p), int(p) + k))
+                keys.append(key)
+                cleans.append(
+                    " ".join(t for i, t in enumerate(toks) if i not in covered)
+                )
+                ntoks.append(len(toks))
+                nrem.append(len(covered))
+            yield pd.DataFrame(
+                {
+                    "key": pd.array(keys, dtype="Int64"),
+                    "clean_text": cleans,
+                    "n_tokens": pd.array(ntoks, dtype="Int64"),
+                    "n_removed": pd.array(nrem, dtype="Int64"),
+                }
+            )
+
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    out = joined.mapInPandas(
+        rebuild,
+        schema="key long, clean_text string, n_tokens long, n_removed long",
+    )
+    return attach_cached(out, [grams])

@@ -80,20 +80,24 @@ def global_rank(
 
 def with_global_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col,
     value_col: str,
     out_col: str = "cumsum",
     num_partitions: int = 0,
 ) -> DataFrame:
     """df + ``out_col`` = inclusive running sum of ``value_col`` in
-    ascending ``order_col`` order (order values must be distinct —
-    they define the concatenation order). Two-phase prefix sum; see
-    module docstring for why this is NOT a bare global window."""
+    ascending ``order_col`` order (a column name or a list of names;
+    the combined order values must be distinct — they define the
+    concatenation order). Two-phase prefix sum; see module docstring
+    for why this is NOT a bare global window."""
     spark = df.sparkSession
-    p = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    order_cols = (
+        [order_col] if isinstance(order_col, str) else list(order_col)
     )
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        p, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
     ranged = ranged.persist()  # totals + cumsum both read it
     totals = {
         r._pid: r.total
@@ -111,7 +115,7 @@ def with_global_cumsum(
     )
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     from jarvis_ocr_service_spark.plans.caching import attach_cached

@@ -216,3 +216,45 @@ def hash_bucket(
     return df.withColumn(
         out_col, F.pmod(_shifted(F.col(key_col), salt), F.lit(n_buckets)).cast("long")
     )
+
+
+def select_to_budget(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    score_col: str = "score",
+    key_col: str = "doc_id",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """Keep the best-scoring documents whose cumulative size fits a
+    global budget — the token-budget selection step of a data recipe
+    (rank by quality, e.g. a DSIR weight or a quality score, then take
+    as much as the training-token budget allows).
+
+    Pinned rule: sort by (score DESC, key ASC), inclusive running sum
+    of ``size_col``, keep rows with running sum <= ``budget``. Sizes
+    are nonnegative so the running sum is monotone and the filter is
+    exactly a PREFIX of the quality ranking (the first document that
+    would cross the budget stops the selection — greedy prefix, not
+    knapsack; a pinned, engine-independent rule). Emits the input
+    columns plus ``cum_size`` (the inclusive running sum) so callers
+    can audit the cut.
+
+    Shape: delegates to the shared two-phase prefix sum
+    (packing.with_global_cumsum over the multi-column order) — range
+    partition on (-score, key), P-row driver collect of partition
+    totals, per-partition window. Never the 1-task global window the
+    oracle runs."""
+    from jarvis_ocr_service_spark.functions.packing import with_global_cumsum
+
+    if budget < 0:
+        raise ValueError("budget must be nonnegative")
+    d = df.withColumn("_negscore", -F.col(score_col).cast("long"))
+    cum = with_global_cumsum(
+        d,
+        ["_negscore", key_col],
+        size_col,
+        out_col="cum_size",
+        num_partitions=num_partitions,
+    )
+    return cum.filter(F.col("cum_size") <= int(budget)).drop("_negscore")

@@ -623,3 +623,92 @@ def test_bucket_clusters_no_dups_empty(spark):
         "doc_id long, text string",
     )
     assert minhash_bucket_clusters(df, key_col="doc_id").count() == 0
+
+
+class TestDedupNgramSpans:
+    def _run(self, spark, rows, k=4, min_count=2):
+        from jarvis_ocr_service_spark.functions.dedup import (
+            dedup_ngram_spans,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.key: (r.clean_text, r.n_tokens, r.n_removed)
+            for r in dedup_ngram_spans(
+                df, k=k, min_count=min_count
+            ).collect()
+        }
+
+    def test_shared_passage_cut_from_every_copy(self, spark):
+        shared = "alpha beta gamma delta"
+        got = self._run(
+            spark,
+            [
+                (0, f"intro one {shared} tail one"),
+                (1, f"other opening {shared} closing words"),
+                (2, "fully unique text with no repeats at all"),
+            ],
+        )
+        # every-occurrence rule: the 4-token passage leaves BOTH docs
+        assert got[0] == ("intro one tail one", 8, 4)
+        assert got[1] == ("other opening closing words", 8, 4)
+        assert got[2][2] == 0  # untouched
+        assert got[2][0] == "fully unique text with no repeats at all"
+
+    def test_internal_repeat_counts_as_duplication(self, spark):
+        # the same window twice INSIDE one doc reaches min_count=2
+        got = self._run(
+            spark, [(0, "x y z w middle x y z w end")], k=4
+        )
+        assert got[0] == ("middle end", 10, 8)
+
+    def test_short_docs_survive_whole_normalized(self, spark):
+        got = self._run(
+            spark,
+            [(0, "  two   tokens "), (1, None), (2, "a b c")],
+            k=4,
+        )
+        assert got[0] == ("two tokens", 2, 0)  # whitespace normalized
+        assert got[1] == ("", 0, 0)
+        assert got[2] == ("a b c", 3, 0)
+
+    def test_overlapping_windows_union_not_double_count(self, spark):
+        # 5 shared tokens => two overlapping 4-windows; covered union
+        # is 5 positions, not 8
+        shared = "p q r s t"
+        got = self._run(
+            spark,
+            [(0, f"one {shared} two"), (1, f"three {shared} four")],
+        )
+        assert got[0] == ("one two", 7, 5)
+        assert got[1] == ("three four", 7, 5)
+
+    def test_case_sensitive_literal_matching(self, spark):
+        got = self._run(
+            spark,
+            [(0, "Alpha Beta Gamma Delta"), (1, "alpha beta gamma delta")],
+        )
+        # recased copy is a DIFFERENT passage — nothing removed
+        assert got[0][2] == 0 and got[1][2] == 0
+
+    def test_min_count_threshold(self, spark):
+        rows = [(i, "a b c d suffix%d" % i) for i in range(3)]
+        assert all(
+            v[2] == 4 for v in self._run(spark, rows, min_count=3).values()
+        )
+        assert all(
+            v[2] == 0 for v in self._run(spark, rows, min_count=4).values()
+        )
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from jarvis_ocr_service_spark.functions.dedup import (
+            dedup_ngram_spans,
+        )
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            dedup_ngram_spans(df, k=0)
+        with _pt.raises(ValueError):
+            dedup_ngram_spans(df, min_count=0)

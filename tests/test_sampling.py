@@ -174,3 +174,89 @@ def test_sample_plan_is_codegen_filter(spark, ids):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestSelectToBudget:
+    def _base(self, spark):
+        # (key, score, sz): scores force order 4,3,2,1,0; sizes 10 each
+        rows = [(i, i * 100, 10) for i in range(5)]
+        return spark.createDataFrame(rows, "key long, score long, sz long")
+
+    def test_greedy_prefix_exact_cut(self, spark):
+        from jarvis_ocr_service_spark.functions.sampling import (
+            select_to_budget,
+        )
+
+        out = select_to_budget(
+            self._base(spark), 25, size_col="sz", score_col="score",
+            key_col="key",
+        ).collect()
+        # budget 25 fits exactly the two best (cum 10, 20); the third
+        # would reach 30 > 25 and stops the prefix
+        assert sorted(r.key for r in out) == [3, 4]
+        assert {r.key: r.cum_size for r in out} == {4: 10, 3: 20}
+
+    def test_budget_zero_and_oversized(self, spark):
+        from jarvis_ocr_service_spark.functions.sampling import (
+            select_to_budget,
+        )
+
+        base = self._base(spark)
+        assert select_to_budget(
+            base, 0, size_col="sz", score_col="score", key_col="key"
+        ).count() == 0
+        assert select_to_budget(
+            base, 10**9, size_col="sz", score_col="score", key_col="key"
+        ).count() == 5
+
+    def test_tie_breaks_on_key_ascending(self, spark):
+        from jarvis_ocr_service_spark.functions.sampling import (
+            select_to_budget,
+        )
+
+        rows = [(i, 7, 10) for i in range(4)]  # all scores tie
+        df = spark.createDataFrame(rows, "key long, score long, sz long")
+        out = select_to_budget(
+            df, 20, size_col="sz", score_col="score", key_col="key"
+        ).collect()
+        assert sorted(r.key for r in out) == [0, 1]  # lowest keys win
+
+    def test_matches_naive_window(self, spark):
+        from pyspark.sql import Window
+
+        from jarvis_ocr_service_spark.functions.sampling import (
+            select_to_budget,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select(
+            F.col("doc_id").alias("key"),
+            F.col("n_chars").cast("long").alias("score"),
+            (F.col("n_chars") % 97 + 1).cast("long").alias("sz"),
+        )
+        got = {
+            r.key: r.cum_size
+            for r in select_to_budget(
+                docs, 5000, size_col="sz", score_col="score", key_col="key"
+            ).collect()
+        }
+        w = Window.orderBy(F.desc("score"), F.asc("key")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        naive = (
+            docs.withColumn("cum", F.sum("sz").over(w))
+            .filter(F.col("cum") <= 5000)
+            .collect()
+        )
+        assert got == {r.key: r.cum for r in naive}
+        assert 0 < len(got) < docs.count()  # the budget bites
+
+    def test_negative_budget_raises(self, spark):
+        from jarvis_ocr_service_spark.functions.sampling import (
+            select_to_budget,
+        )
+
+        with pytest.raises(ValueError, match="budget"):
+            select_to_budget(self._base(spark), -1, size_col="sz",
+                             score_col="score", key_col="key")
