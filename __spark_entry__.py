@@ -1153,6 +1153,19 @@ def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(docs)
 
 
+def _q_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing
+    (vocab.surprisal_buckets): equal-population tertiles of integer
+    per-token unigram surprisal via the shared two-phase global_rank —
+    the quality partition CCNet keeps the head of. Total order
+    (ppl_q, key), so the bucket assignment is engine-exact."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import surprisal_buckets
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return surprisal_buckets(docs)
+
+
 def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line dedup (dedup.dedup_lines — the C4/RefinedWeb
     boilerplate rule). The documents fixture is single-line, so BOTH
@@ -1784,6 +1797,7 @@ QUERIES = {
     "dedup_paragraphs": _q_dedup_paragraphs,
     "unigram_surprisal": _q_unigram_surprisal,
     "bigram_surprisal": _q_bigram_surprisal,
+    "surprisal_buckets": _q_surprisal_buckets,
     "change_flags": _q_change_flags,
     "wordlist_flags": _q_wordlist_flags,
     "shuffle_order": _q_shuffle_order,
@@ -2436,6 +2450,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(x.n_tokens, 0) AS BIGINT) AS n_tokens,
                    CAST(coalesce(x.surprisal, 0) AS BIGINT) AS surprisal
             FROM documents d LEFT JOIN x USING (doc_id)
+        """,
+        # surprisal mirror + the pinned total-order tertile rule; the
+        # naive row_number global window here is exactly what the Spark
+        # side's two-phase global_rank avoids
+        "surprisal_buckets": f"""
+            WITH tok AS (SELECT doc_id,
+                                unnest({_duck_py_tokens("lower(text)")})
+                                    AS token
+                         FROM documents),
+            c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+            s AS (SELECT token,
+                         CAST(length(to_base(CAST(greatest(t // n, 1)
+                                                  AS BIGINT), 2)) - 1
+                              AS BIGINT) AS s
+                  FROM c CROSS JOIN tot),
+            x AS (SELECT doc_id, count(*) AS n_tokens,
+                         sum(s) AS surprisal
+                  FROM tok JOIN s USING (token) GROUP BY doc_id),
+            p AS (SELECT d.doc_id AS key,
+                         CASE WHEN coalesce(x.n_tokens, 0) > 0
+                              THEN (x.surprisal * 1000) // x.n_tokens
+                              ELSE {1 << 62} END AS ppl_q
+                  FROM documents d LEFT JOIN x USING (doc_id)),
+            r AS (SELECT key, ppl_q,
+                         row_number() OVER (ORDER BY ppl_q, key) - 1
+                             AS pos,
+                         count(*) OVER () AS n
+                  FROM p)
+            SELECT key, CAST(ppl_q AS BIGINT) AS ppl_q,
+                   CAST(pos * 3 // n AS BIGINT) AS bucket,
+                   CASE pos * 3 // n WHEN 0 THEN 'head'
+                        WHEN 1 THEN 'middle' ELSE 'tail' END
+                       AS bucket_name
+            FROM r
         """,
         "dedup_lines": """
             WITH src AS (SELECT doc_id,

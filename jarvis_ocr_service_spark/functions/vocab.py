@@ -619,3 +619,75 @@ def token_pair_counts(
     if min_count > 1:
         out = out.filter(F.col("n") >= min_count)
     return out
+
+
+# Empty documents have no perplexity; CCNet drops them — we keep every
+# row (the repo's report-don't-drop rule) and pin them to the WORST
+# score so they land in the tail bucket deterministically.
+EMPTY_DOC_PPL = 1 << 62
+
+
+def surprisal_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its
+    per-token surprisal under the corpus unigram LM and split the
+    corpus into ``n_buckets`` equal-population buckets — CCNet's
+    head/middle/tail quality partition (head = most fluent third,
+    the slice usually kept for LM training; tail = gibberish/rare-
+    token soup). Returns ``(key, ppl_q, bucket, bucket_name)``:
+
+      ppl_q  = (surprisal * scale) // n_tokens   (integer per-token
+               surprisal, :func:`unigram_surprisal` numerators;
+               zero-token docs pin to EMPTY_DOC_PPL = 2^62 -> tail)
+      pos    = global 0-based rank ascending (ppl_q, key)
+      bucket = (pos * n_buckets) // n_docs       (0-based; equal
+               population by construction, remainder spread one row
+               at a time across the leading buckets)
+      bucket_name = head / middle / tail for the 3-bucket case,
+               "b<idx>" otherwise
+
+    The tie-break on ``key`` makes the partition a total order — any
+    engine reproduces it bit-for-bit (no NTILE, whose tie placement
+    is engine-defined over equal sort keys).
+
+    Plan: :func:`unigram_surprisal`'s two vocabulary-bounded shuffles,
+    then the shared two-phase :func:`~jarvis_ocr_service_spark.functions.packing.global_rank`
+    (range partitions + P-row offset collect + per-partition
+    row_number) — NEVER a 1-task global window; the n_docs scalar
+    falls out of the ranking for free. One extra shuffle total over
+    the surprisal scoring; every post-rank expression is codegen."""
+    from jarvis_ocr_service_spark.functions.packing import global_rank
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    sur = unigram_surprisal(df, text_col=text_col, key_col=key_col)
+    ppl = sur.select(
+        "key",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"CAST(surprisal * {int(scale)} AS BIGINT) div n_tokens"),
+        )
+        .otherwise(F.lit(EMPTY_DOC_PPL))
+        .cast("long")
+        .alias("ppl_q"),
+    )
+    ranked, n_docs = global_rank(ppl, ["ppl_q", "key"], out_col="pos")
+    n_docs = max(n_docs, 1)
+    bucket = F.expr(f"CAST(pos * {int(n_buckets)} AS BIGINT) div {n_docs}")
+    if n_buckets == 3:
+        name = (
+            F.when(F.col("bucket") == 0, F.lit("head"))
+            .when(F.col("bucket") == 1, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        name = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return (
+        ranked.withColumn("bucket", bucket.cast("long"))
+        .select("key", "ppl_q", "bucket", name.alias("bucket_name"))
+    )

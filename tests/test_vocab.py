@@ -494,3 +494,60 @@ def test_plan_partial_agg_and_take_ordered(spark):
     plan = top_tokens(df, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_count" in plan, plan  # map-side combine before shuffle
+
+
+def _brute_surprisal_buckets(docs, n_buckets=3, scale=1000):
+    from jarvis_ocr_service_spark.functions.vocab import EMPTY_DOC_PPL
+
+    c = Counter()
+    for _, t in docs:
+        c.update((t or "").lower().split())
+    total = sum(c.values())
+    s = {t: max(total // n, 1).bit_length() - 1 for t, n in c.items()}
+    ppl = {}
+    for k, t in docs:
+        toks = (t or "").lower().split()
+        if toks:
+            ppl[k] = (sum(s[t] for t in toks) * scale) // len(toks)
+        else:
+            ppl[k] = EMPTY_DOC_PPL
+    order = sorted(ppl, key=lambda k: (ppl[k], k))
+    n = len(order)
+    return {
+        k: (ppl[k], (pos * n_buckets) // n) for pos, k in enumerate(order)
+    }
+
+
+def test_surprisal_buckets_brute_parity(spark):
+    from jarvis_ocr_service_spark.functions.vocab import surprisal_buckets
+
+    docs = [
+        (i, " ".join("common" if (i + j) % 3 else f"rare{i}_{j}" for j in range(5 + i % 7)))
+        for i in range(30)
+    ] + [(100, ""), (101, None), (102, "common common common")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.key: (r.ppl_q, r.bucket, r.bucket_name) for r in surprisal_buckets(df).collect()}
+    brute = _brute_surprisal_buckets(docs)
+    assert {k: v[:2] for k, v in got.items()} == brute
+    # empty/None docs pin to the tail bucket
+    assert got[100][2] == "tail" and got[101][2] == "tail"
+    # the all-common doc is maximally fluent -> head
+    assert got[102][2] == "head"
+    # equal population: 33 docs -> 11 per bucket
+    sizes = Counter(b for _, b, _ in got.values())
+    assert sizes == {0: 11, 1: 11, 2: 11}
+
+
+def test_surprisal_buckets_n_buckets(spark):
+    from jarvis_ocr_service_spark.functions.vocab import surprisal_buckets
+
+    docs = [(i, f"tok{i % 4} tok{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.key: (r.ppl_q, r.bucket) for r in surprisal_buckets(df, n_buckets=5).collect()}
+    assert got == {
+        k: v for k, v in _brute_surprisal_buckets(docs, n_buckets=5).items()
+    }
+    names = {r.bucket_name for r in surprisal_buckets(df, n_buckets=5).collect()}
+    assert names <= {f"b{i}" for i in range(5)}
+    with pytest.raises(ValueError):
+        surprisal_buckets(df, n_buckets=0)
