@@ -1166,6 +1166,23 @@ def _q_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surprisal_buckets(docs)
 
 
+def _q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized multinomial Naive Bayes quality classifier
+    (classifier.nb_quality_classifier): the fastText-style quality
+    filter LLM pipelines front-load (CCNet's wiki-vs-crawl model, the
+    LLaMA reference-like filter), all-integer floor-log2
+    log-likelihood-ratio scoring so DuckDB is value-exact. Label on
+    the fixture: lang = 'en' (the "trusted slice" shape — train on it,
+    score everything); ~39% positive, so both classes bite."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.classifier import nb_quality_classifier
+
+    docs = _tbl(spark, sf_dir, "documents").withColumn(
+        "_lab", F.col("lang") == F.lit("en")
+    )
+    return nb_quality_classifier(docs, "_lab")
+
+
 def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line dedup (dedup.dedup_lines — the C4/RefinedWeb
     boilerplate rule). The documents fixture is single-line, so BOTH
@@ -1798,6 +1815,7 @@ QUERIES = {
     "unigram_surprisal": _q_unigram_surprisal,
     "bigram_surprisal": _q_bigram_surprisal,
     "surprisal_buckets": _q_surprisal_buckets,
+    "nb_quality": _q_nb_quality,
     "change_flags": _q_change_flags,
     "wordlist_flags": _q_wordlist_flags,
     "shuffle_order": _q_shuffle_order,
@@ -2486,6 +2504,46 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket_name
             FROM r
         """,
+        # quantized NB mirror: per-class Laplace surprisal via the same
+        # to_base floor-log2; prior/w_unseen fall out of the scalar CTEs
+        # (self-train query, so every scored token is in the weights
+        # table and w_unseen never fires here — nb_score's unseen path
+        # is pinned by tests/test_classifier.py instead)
+        "nb_quality": f"""
+            WITH tok AS (SELECT doc_id, (lang = 'en') AS lab,
+                                unnest({_duck_py_tokens("lower(text)")})
+                                    AS token
+                         FROM documents),
+            c AS (SELECT token,
+                         CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END)
+                              AS BIGINT) AS cpos,
+                         CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END)
+                              AS BIGINT) AS cneg
+                  FROM tok GROUP BY token),
+            tot AS (SELECT CAST(coalesce(sum(cpos), 0) AS BIGINT) AS np,
+                           CAST(coalesce(sum(cneg), 0) AS BIGINT) AS nn,
+                           CAST(count(*) AS BIGINT) AS v
+                    FROM c),
+            w AS (SELECT token,
+                         {_duck_flog2('(nn + v) // (cneg + 1)')}
+                         - {_duck_flog2('(np + v) // (cpos + 1)')} AS w
+                  FROM c CROSS JOIN tot),
+            dt AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                                   END) AS BIGINT) AS npos
+                   FROM documents),
+            pr AS (SELECT {_duck_flog2('(nd + 2) // (nd - npos + 1)')}
+                          - {_duck_flog2('(nd + 2) // (npos + 1)')}
+                              AS prior
+                   FROM dt),
+            x AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS ws
+                  FROM tok t JOIN w USING (token) GROUP BY t.doc_id)
+            SELECT d.doc_id AS key,
+                   CAST(coalesce(x.ws, 0) + pr.prior AS BIGINT) AS score,
+                   (coalesce(x.ws, 0) + pr.prior >= 0) AS pred
+            FROM documents d CROSS JOIN pr
+                 LEFT JOIN x ON d.doc_id = x.doc_id
+        """,
         "dedup_lines": """
             WITH src AS (SELECT doc_id,
                                 replace(text, ' row ', ' row' || chr(10)) AS t
@@ -2603,6 +2661,15 @@ def _duck_py_tokens(expr: str) -> str:
     return (
         f"list_filter(regexp_split_to_array(trim(coalesce({expr}, '')), "
         f"'{_DUCK_WS}'), t -> t != '')"
+    )
+
+
+def _duck_flog2(expr: str) -> str:
+    """DuckDB mirror of report.size_bucket_col: floor(log2(max(n,1)))
+    via the minimal-binary-string length — exact integers."""
+    return (
+        f"CAST(length(to_base(greatest(CAST({expr} AS BIGINT), 1), 2)) - 1"
+        " AS BIGINT)"
     )
 
 
