@@ -1440,6 +1440,23 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_quantized(docs, "scan window merge dup", k=10)
 
 
+def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion (functions/fusion.hybrid_topk): the
+    oracled BM25 and quantized-dot retrievers composed by integer
+    reciprocal-rank fusion (Cormack et al. 2009) — contrib =
+    scale // (k_const + rank), total order (rrf_q desc, key), so the
+    whole lexical+semantic composition is value-exact end-to-end.
+    documents and embeddings share the 0..n-1 id space, so fusing
+    doc_id with vec_id ranks is meaningful on the fixture."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.fusion import hybrid_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    return hybrid_topk(docs, emb, "scan window merge dup", qvec, k=10, depth=50)
+
+
 def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction (functions/urls.outlinks_col) over the built
     pages: boilerplate pages carry 24 double-quoted nav hrefs + 2
@@ -1803,6 +1820,7 @@ QUERIES = {
     # Round-4 additions next — never driver-checked yet, so they come
     # before the queries with green CORRECTNESS_r03 rows.
     "bm25_topk": _q_bm25_topk,
+    "hybrid_topk": _q_hybrid_topk,
     "pagerank_dangling": _q_pagerank_dangling,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
@@ -2324,6 +2342,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _duck_winnow_pairs(12, "doc_id < 200"),
         "tfidf_topk": _duck_tfidf_topk(["scan", "window", "merge", "dup"], 10),
         "bm25_topk": _duck_bm25_topk(["scan", "window", "merge", "dup"], 10),
+        "hybrid_topk": _duck_hybrid_topk(
+            ["scan", "window", "merge", "dup"], 50, 10
+        ),
         "pii_scrub": _duck_pii_scrub(),
         "contamination": _duck_contamination(13, 50),
         "image_phash": _duck_image_phash(60),
@@ -2855,6 +2876,53 @@ def _duck_bm25_topk(
                FROM idx JOIN idf USING (term) CROSS JOIN params p
                GROUP BY 1)
         SELECT key, score FROM sc ORDER BY score DESC, key LIMIT {k}
+    """
+
+
+def _duck_hybrid_topk(
+    query_terms,
+    depth: int = 50,
+    k: int = 10,
+    k_const: int = 60,
+    scale: int = 10**9,
+) -> str:
+    """Mirror of fusion.hybrid_topk: the bm25 and quantized-dot mirrors
+    as derived tables, re-ranked by the identical (score desc, key)
+    total order, fused with the identical integer contribution
+    scale // (k_const + rank) — the whole composition value-exact."""
+    bm_sql = _duck_bm25_topk(query_terms, depth)
+    ann_sql = f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id,
+                 CAST(list_sum(list_transform(
+                   generate_series(1, len(e.embedding)),
+                   i -> CAST(round(CAST(e.embedding[i] AS DOUBLE)*1000) AS BIGINT)
+                      * CAST(round(CAST(q.qe[i] AS DOUBLE)*1000) AS BIGINT)))
+                   AS BIGINT) AS dot_q
+          FROM embeddings e, q)
+        SELECT vec_id, dot_q FROM scored ORDER BY dot_q DESC, vec_id LIMIT {depth}
+    """
+    return f"""
+        WITH bm AS (SELECT key,
+                           row_number() OVER (ORDER BY score DESC, key)
+                               AS rank
+                    FROM ({bm_sql})),
+        ann AS (SELECT vec_id AS key,
+                       row_number() OVER (ORDER BY dot_q DESC, vec_id)
+                           AS rank
+                FROM ({ann_sql})),
+        u AS (SELECT key, CAST({scale} AS BIGINT) // ({k_const} + rank)
+                              AS c
+              FROM bm
+              UNION ALL
+              SELECT key, CAST({scale} AS BIGINT) // ({k_const} + rank)
+                              AS c
+              FROM ann)
+        SELECT key, CAST(sum(c) AS BIGINT) AS rrf_q,
+               CAST(count(*) AS BIGINT) AS n_systems
+        FROM u GROUP BY key
+        ORDER BY rrf_q DESC, key LIMIT {k}
     """
 
 
