@@ -1457,6 +1457,36 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_topk(docs, emb, "scan window merge dup", qvec, k=10, depth=50)
 
 
+def _q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report (importance.corpus_divergence): integer
+    cross-entropy / KL numerators between the lang='en' slice and the
+    rest of the corpus under Laplace-smoothed unigram LMs — the
+    mixture-tuning / crawl-drift statistic. One vocabulary-bounded
+    shuffle, one global agg to a single row; floor-log2 keeps both
+    engines bit-identical."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.importance import corpus_divergence
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )
+
+
+def _q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (chunking.chunk_sliding): size=32,
+    stride=16 token windows — the RAG/long-context splitter. Pinned
+    all-integer window rule (kmax = ceil((n-size)/stride)), map-only
+    plan (no shuffle, no Python); fixture docs run tens of tokens, so
+    multi-chunk docs and the single-chunk short tail both occur."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.chunking import chunk_sliding
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return chunk_sliding(docs, 32, 16)
+
+
 def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction (functions/urls.outlinks_col) over the built
     pages: boilerplate pages carry 24 double-quoted nav hrefs + 2
@@ -1821,6 +1851,8 @@ QUERIES = {
     # before the queries with green CORRECTNESS_r03 rows.
     "bm25_topk": _q_bm25_topk,
     "hybrid_topk": _q_hybrid_topk,
+    "chunk_sliding": _q_chunk_sliding,
+    "corpus_divergence": _q_corpus_divergence,
     "pagerank_dangling": _q_pagerank_dangling,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
@@ -2345,6 +2377,75 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk": _duck_hybrid_topk(
             ["scan", "window", "merge", "dup"], 50, 10
         ),
+        # classifier-style per-corpus Laplace surprisal, symmetric:
+        # one token-tagged union, the same to_base floor-log2, numerator
+        # sums to one row
+        "corpus_divergence": f"""
+            WITH u AS (
+              SELECT token, 1 AS p, 0 AS q
+              FROM (SELECT unnest({_duck_py_tokens("lower(text)")})
+                               AS token
+                    FROM documents WHERE lang = 'en')
+              UNION ALL
+              SELECT token, 0 AS p, 1 AS q
+              FROM (SELECT unnest({_duck_py_tokens("lower(text)")})
+                               AS token
+                    FROM documents WHERE lang <> 'en')),
+            c AS (SELECT token, CAST(sum(p) AS BIGINT) AS np,
+                         CAST(sum(q) AS BIGINT) AS nq
+                  FROM u GROUP BY token),
+            tot AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS tp,
+                           CAST(coalesce(sum(nq), 0) AS BIGINT) AS tq,
+                           CAST(count(*) AS BIGINT) AS v
+                    FROM c),
+            s AS (SELECT np, nq,
+                         {_duck_flog2('(tp + v) // (np + 1)')} AS sp,
+                         {_duck_flog2('(tq + v) // (nq + 1)')} AS sq
+                  FROM c CROSS JOIN tot)
+            SELECT (SELECT tp FROM tot) AS t_p,
+                   (SELECT tq FROM tot) AS t_q,
+                   (SELECT v FROM tot) AS v,
+                   CAST(coalesce(sum(CASE WHEN nq = 0 THEN np ELSE 0
+                                     END), 0) AS BIGINT) AS oov_p,
+                   CAST(coalesce(sum(CASE WHEN np = 0 THEN nq ELSE 0
+                                     END), 0) AS BIGINT) AS oov_q,
+                   CAST(coalesce(sum(np * sp), 0) AS BIGINT) AS ent_p,
+                   CAST(coalesce(sum(nq * sq), 0) AS BIGINT) AS ent_q,
+                   CAST(coalesce(sum(np * sq), 0) AS BIGINT) AS xent_pq,
+                   CAST(coalesce(sum(nq * sp), 0) AS BIGINT) AS xent_qp,
+                   CAST(coalesce(sum(np * sq), 0)
+                        - coalesce(sum(np * sp), 0) AS BIGINT) AS kl_pq,
+                   CAST(coalesce(sum(nq * sp), 0)
+                        - coalesce(sum(nq * sq), 0) AS BIGINT) AS kl_qp
+            FROM s
+        """,
+        # the pinned sliding-window rule; scalar-list generate_series
+        # (the TABLE form rejects lateral column args — CLAUDE.md);
+        # DuckDB list slices are 1-based end-inclusive, so [s+1 : s+m]
+        # is exactly Spark's slice(toks, s+1, m)
+        "chunk_sliding": f"""
+            WITH t AS (SELECT doc_id,
+                              {_duck_py_tokens("lower(text)")} AS toks
+                       FROM documents),
+            k AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                         CASE WHEN len(toks) <= 32 THEN 0
+                              ELSE (len(toks) - 32 + 16 - 1) // 16
+                         END AS kmax
+                  FROM t),
+            c AS (SELECT doc_id, toks, n,
+                         unnest(generate_series(0, kmax)) AS ci
+                  FROM k)
+            SELECT doc_id AS key,
+                   CAST(ci AS BIGINT) AS chunk_idx,
+                   CAST(ci * 16 AS BIGINT) AS start_tok,
+                   CAST(least(32, n - ci * 16) AS BIGINT) AS n_toks,
+                   array_to_string(
+                     toks[CAST(ci * 16 + 1 AS BIGINT)
+                          : CAST(ci * 16 + least(32, n - ci * 16)
+                                 AS BIGINT)],
+                     ' ') AS chunk_text
+            FROM c
+        """,
         "pii_scrub": _duck_pii_scrub(),
         "contamination": _duck_contamination(13, 50),
         "image_phash": _duck_image_phash(60),

@@ -143,3 +143,90 @@ def dsir_weights(
             F.coalesce("weight", F.lit(0)).cast("long").alias("weight"),
         )
     )
+
+
+def corpus_divergence(
+    df_p: DataFrame,
+    df_q: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus drift report: integer cross-entropy / KL-divergence proxy
+    between two corpora under Laplace-smoothed unigram LMs — the
+    mixture-tuning / crawl-drift statistic (how far did this snapshot
+    move from the last one; how unlike the target is this source).
+
+    All-integer (the classifier's per-class surprisal applied
+    symmetrically): with T_x = corpus-x token total, V = |union
+    vocabulary|, n_t^x = count of token t in x, the smoothed surprisal
+    is ``s_x(t) = floor_log2((T_x + V) // (n_t^x + 1))`` and the report
+    row carries the exact integer numerators
+
+        ent_p   = sum_t n_t^P * s_P(t)        (entropy of P, x T_P)
+        xent_pq = sum_t n_t^P * s_Q(t)        (P scored under Q's LM)
+        kl_pq   = xent_pq - ent_p             (~ T_P * KL(P||Q) bits)
+
+    plus the mirrored Q-side terms, token/vocab totals, and OOV mass
+    (oov_p = P tokens whose type never occurs in Q). Callers divide by
+    the emitted totals for per-token rates; keeping numerators integer
+    makes the report engine-exact (floor noise <= 1 bit per term; the
+    identical-corpus case is EXACTLY kl = 0 because s_P == s_Q).
+
+    Scale shape: tokenize both corpora, tag side, ONE vocabulary-
+    bounded groupBy(token) shuffle with map-side partial agg, then a
+    single global agg to one row. Nothing corpus-squared; the
+    vocabulary is the only shuffled payload."""
+    tok_p = df_p.select(F.explode(py_tokens_col(F.col(text_col))).alias("token"))
+    tok_q = df_q.select(F.explode(py_tokens_col(F.col(text_col))).alias("token"))
+    tagged = tok_p.withColumn("_p", F.lit(1)).withColumn("_q", F.lit(0)).unionByName(
+        tok_q.withColumn("_p", F.lit(0)).withColumn("_q", F.lit(1))
+    )
+    counts = (
+        tagged.groupBy("token")
+        .agg(
+            F.sum("_p").cast("long").alias("np"),
+            F.sum("_q").cast("long").alias("nq"),
+        )
+        .persist()
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("np"), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("nq"), F.lit(0)).alias("tq"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    t_p, t_q, v = int(tot.tp), int(tot.tq), int(tot.v)
+    s_p = size_bucket_col(F.expr(f"CAST({t_p + v} AS BIGINT) div (np + 1)"))
+    s_q = size_bucket_col(F.expr(f"CAST({t_q + v} AS BIGINT) div (nq + 1)"))
+    out = counts.agg(
+        F.lit(t_p).cast("long").alias("t_p"),
+        F.lit(t_q).cast("long").alias("t_q"),
+        F.lit(v).cast("long").alias("v"),
+        F.coalesce(
+            F.sum(F.when(F.col("nq") == 0, F.col("np")).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("oov_p"),
+        F.coalesce(
+            F.sum(F.when(F.col("np") == 0, F.col("nq")).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("oov_q"),
+        F.coalesce(F.sum(F.col("np") * s_p), F.lit(0)).cast("long").alias("ent_p"),
+        F.coalesce(F.sum(F.col("nq") * s_q), F.lit(0)).cast("long").alias("ent_q"),
+        F.coalesce(F.sum(F.col("np") * s_q), F.lit(0)).cast("long").alias("xent_pq"),
+        F.coalesce(F.sum(F.col("nq") * s_p), F.lit(0)).cast("long").alias("xent_qp"),
+    ).select(
+        "t_p",
+        "t_q",
+        "v",
+        "oov_p",
+        "oov_q",
+        "ent_p",
+        "ent_q",
+        "xent_pq",
+        "xent_qp",
+        (F.col("xent_pq") - F.col("ent_p")).cast("long").alias("kl_pq"),
+        (F.col("xent_qp") - F.col("ent_q")).cast("long").alias("kl_qp"),
+    )
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    return attach_cached(out, [counts])
