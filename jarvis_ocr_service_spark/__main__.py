@@ -46,6 +46,12 @@ def main(argv=None) -> int:
         if name == "prepare":
             s.add_argument("--min-quality", type=float, default=0.5)
             s.add_argument("--near-dup-threshold", type=float, default=0.85)
+            s.add_argument(
+                "--keep-ppl-buckets",
+                default=None,
+                help="comma list of surprisal tertiles to keep, "
+                "e.g. head,middle (CCNet LM-quality gate)",
+            )
         if name == "stream-prepare":
             s.add_argument("--min-quality", type=float, default=0.5)
             s.add_argument("--watermark", default="1 hour")
@@ -131,6 +137,11 @@ def main(argv=None) -> int:
             min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold or None,
             pdf_mode=args.pdf_mode,
+            keep_ppl_buckets=(
+                tuple(args.keep_ppl_buckets.split(","))
+                if args.keep_ppl_buckets
+                else None
+            ),
         )
         corpus.write.mode("overwrite").parquet(args.output)
         from jarvis_ocr_service_spark.plans.caching import release_cached

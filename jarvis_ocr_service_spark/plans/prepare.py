@@ -7,6 +7,9 @@ corpus actually runs.
           -> exact dedup (content digest)
           -> near-dup collapse (MinHash-LSH, keep min url per cluster)
           -> [optional] corpus-level line dedup (functions/dedup.dedup_lines)
+          -> [optional] CCNet LM-quality gates: perplexity-tertile keep-set
+             (vocab.surprisal_buckets) and/or reference-trained NB
+             classifier (functions/classifier)
           -> [optional] benchmark decontamination (functions/contamination)
           -> [optional] PII redaction (functions/pii)
           -> clean corpus (url, text, lang_guess, quality, n_tokens)
@@ -42,6 +45,8 @@ def prepare_training_data(
     blocklist=None,
     line_dedup_max_count: int = 0,
     near_dup_mode: str = "pairs",
+    keep_ppl_buckets: Optional[tuple] = None,
+    classifier_reference: Optional[DataFrame] = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> deduplicated clean corpus.
 
@@ -71,7 +76,21 @@ def prepare_training_data(
         shape), signature-ESTIMATED Jaccard trim at the threshold.
         Coarser semantics (bucket transitivity + estimator, see its
         docstring) — the trade every trillion-row pipeline makes; use
-        it when the corpus has template-heavy mass."""
+        it when the corpus has template-heavy mass.
+
+    CCNet-style LM-quality tail (both off by default):
+    ``keep_ppl_buckets`` — e.g. ``("head", "middle")`` — buckets the
+    SURVIVING corpus by integer per-token unigram surprisal
+    (vocab.surprisal_buckets, equal-population tertiles) and keeps only
+    the named buckets; CCNet keeps head(+middle) per language — here
+    the bucketing is corpus-global (the per-language refinement is a
+    groupBy away; documented, not hidden). ``classifier_reference`` —
+    a trusted corpus (any DataFrame with a ``text`` column) — trains
+    the quantized NB classifier (functions/classifier) with
+    reference-vs-corpus labels, the literal CCNet wiki-vs-crawl
+    design, and keeps the corpus documents scored reference-like
+    (pred == score >= 0). Gates run on the post-line-dedup text (the
+    bytes that ship), before decontamination/PII."""
     from jarvis_ocr_service_spark.functions.dedup import (
         minhash_lsh_pairs,
         text_digest,
@@ -107,6 +126,10 @@ def prepare_training_data(
         .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
     )
 
+    # persisted frames created inside finish's gates, propagated onto the
+    # returned plan so the caller's release_cached() covers them
+    tail_caches: list = []
+
     def finish(corpus: DataFrame) -> DataFrame:
         # line dedup FIRST in the tail: decontamination grams and PII
         # spans should be evaluated on the text that actually ships
@@ -122,6 +145,47 @@ def prepare_training_data(
                 .join(deduped_text, "url")
                 .withColumnRenamed("_ld", "text")
             )
+        # CCNet-style LM-quality gates on the shipping text: perplexity
+        # tertile keep-set, then the reference-trained NB classifier
+        if keep_ppl_buckets:
+            from jarvis_ocr_service_spark.functions.vocab import (
+                surprisal_buckets,
+            )
+
+            keep = (
+                surprisal_buckets(corpus, text_col="text", key_col="url")
+                .filter(F.col("bucket_name").isin(*keep_ppl_buckets))
+                .select(F.col("key").alias("url"))
+            )
+            corpus = corpus.join(keep, "url", "left_semi")
+        if classifier_reference is not None:
+            from jarvis_ocr_service_spark.functions.classifier import (
+                nb_score,
+                nb_train,
+            )
+            from jarvis_ocr_service_spark.plans.caching import carried_cached
+
+            train = (
+                classifier_reference.select(F.col("text"))
+                .withColumn("_ref", F.lit(True))
+                .unionByName(
+                    corpus.select(F.col("text")).withColumn(
+                        "_ref", F.lit(False)
+                    )
+                )
+            )
+            # nb_train runs its two bounded driver aggregates here (at
+            # plan-build time) and leaves its counts frame persisted —
+            # carried on `weights`; propagate it to the returned plan so
+            # the caller's release_cached() contract covers it
+            weights, params = nb_train(train, "_ref")
+            tail_caches.extend(carried_cached(weights))
+            keep = (
+                nb_score(corpus, weights, params, key_col="url")
+                .filter(F.col("pred"))
+                .select(F.col("key").alias("url"))
+            )
+            corpus = corpus.join(keep, "url", "left_semi")
         # decontaminate BEFORE redaction: collision grams must be
         # matched against the original bytes, not [EMAIL]-rewritten ones
         if benchmark is not None:
@@ -143,7 +207,9 @@ def prepare_training_data(
         return corpus
 
     if not near_dup_threshold:
-        return finish(exact)
+        from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+        return attach_cached(finish(exact), tail_caches)
 
     # near-dup collapse: true connected components over the verified pair
     # graph (dup_clusters) — every transitive chain collapses to its
@@ -185,5 +251,5 @@ def prepare_training_data(
         .select(F.col("key").alias("url"))
     )
     return attach_cached(
-        finish(exact.join(losers, "url", "left_anti")), carried,
+        finish(exact.join(losers, "url", "left_anti")), carried + tail_caches,
     )

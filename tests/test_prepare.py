@@ -166,3 +166,64 @@ def test_prepare_rejects_unknown_near_dup_mode(spark):
         prepare_training_data(
             synthesize_pages(spark, 10), near_dup_mode="nope"
         )
+
+
+def test_prepare_ppl_bucket_gate(spark):
+    """keep_ppl_buckets keeps exactly the surprisal_buckets head/middle
+    tertiles of the surviving corpus (the CCNet keep-set)."""
+    from jarvis_ocr_service_spark.functions.vocab import surprisal_buckets
+    from jarvis_ocr_service_spark.plans.caching import release_cached
+
+    pages = synthesize_pages(spark, 60, num_partitions=2)
+    base = prepare_training_data(pages, near_dup_threshold=None)
+    expected_keep = {
+        r.key
+        for r in surprisal_buckets(base, text_col="text", key_col="url")
+        .filter("bucket_name != 'tail'")
+        .collect()
+    }
+    gated = prepare_training_data(
+        pages, near_dup_threshold=None, keep_ppl_buckets=("head", "middle")
+    )
+    got = {r.url for r in gated.collect()}
+    assert got == expected_keep
+    n_base = base.count()
+    # equal-population tertiles: the gate keeps ~2/3
+    assert abs(len(got) - 2 * n_base / 3) <= 2
+    release_cached(gated)
+
+
+def test_prepare_classifier_gate(spark):
+    """classifier_reference trains reference-vs-corpus NB and keeps the
+    reference-like documents; a reference matching the corpus's own
+    common vocabulary keeps plenty, and dropped docs score negative."""
+    from jarvis_ocr_service_spark.functions.classifier import nb_score, nb_train
+    from jarvis_ocr_service_spark.plans.caching import release_cached
+
+    pages = synthesize_pages(spark, 60, num_partitions=2)
+    base = prepare_training_data(pages, near_dup_threshold=None)
+    # reference corpus: the first 10 surviving docs verbatim
+    ref_texts = [r.text for r in base.orderBy("url").limit(10).collect()]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+
+    gated = prepare_training_data(
+        pages, near_dup_threshold=None, classifier_reference=ref
+    )
+    got = {r.url for r in gated.collect()}
+    # mirror the gate by hand on the base corpus
+    from pyspark.sql import functions as F
+
+    train = ref.withColumn("_ref", F.lit(True)).unionByName(
+        base.select("text").withColumn("_ref", F.lit(False))
+    )
+    weights, params = nb_train(train, "_ref")
+    expected = {
+        r.key
+        for r in nb_score(base, weights, params, key_col="url")
+        .filter("pred")
+        .collect()
+    }
+    release_cached(weights)
+    assert got == expected
+    assert 0 < len(got) < base.count()  # the gate bites both ways
+    release_cached(gated)
