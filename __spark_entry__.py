@@ -1457,6 +1457,23 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_topk(docs, emb, "scan window merge dup", qvec, k=10, depth=50)
 
 
+def _q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (sampling.upsample_epochs): every doc
+    floor(2.45)=2 copies, the hash-selected 45% a third — the data-
+    recipe repetition op (wiki at 2.45 epochs). Map-only explode; the
+    fractional threshold resolves driver-side to one integer literal,
+    so both engines compare the same salted-md5 int64."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.sampling import upsample_epochs
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return upsample_epochs(docs, 2.45).select(
+        F.col("doc_id").alias("key"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("epoch"),
+    )
+
+
 def _q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift report (importance.corpus_divergence): integer
     cross-entropy / KL numerators between the lang='en' slice and the
@@ -1853,6 +1870,7 @@ QUERIES = {
     "hybrid_topk": _q_hybrid_topk,
     "chunk_sliding": _q_chunk_sliding,
     "corpus_divergence": _q_corpus_divergence,
+    "upsample_epochs": _q_upsample_epochs,
     "pagerank_dangling": _q_pagerank_dangling,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
@@ -2377,6 +2395,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk": _duck_hybrid_topk(
             ["scan", "window", "merge", "dup"], 50, 10
         ),
+        # the module's own mirror emits the copy count with the same
+        # driver-resolved threshold literal; scalar-list generate_series
+        "upsample_epochs": _duck_upsample_epochs(2.45),
         # classifier-style per-corpus Laplace surprisal, symmetric:
         # one token-tagged union, the same to_base floor-log2, numerator
         # sums to one row
@@ -2784,6 +2805,22 @@ def _duck_py_tokens(expr: str) -> str:
         f"list_filter(regexp_split_to_array(trim(coalesce({expr}, '')), "
         f"'{_DUCK_WS}'), t -> t != '')"
     )
+
+
+def _duck_upsample_epochs(epochs: float) -> str:
+    """Mirror of _q_upsample_epochs via the sampling module's own
+    n_copies fragment (identical threshold literal + hash family)."""
+    from jarvis_ocr_service_spark.functions.sampling import (
+        upsample_epochs_duck_sql,
+    )
+
+    nc = upsample_epochs_duck_sql(epochs, "doc_id", "epochs")
+    return f"""
+        WITH c AS (SELECT doc_id, n_chars, {nc} AS nc FROM documents)
+        SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(unnest(generate_series(0, nc - 1)) AS BIGINT) AS epoch
+        FROM c WHERE nc > 0
+    """
 
 
 def _duck_flog2(expr: str) -> str:

@@ -170,6 +170,11 @@ def nb_quality_classifier(
 ) -> DataFrame:
     """Train-and-score convenience over one corpus (the CCNet shape:
     label a slice you trust — e.g. wiki-like sources — and score
-    everything). Returns ``(key, score, pred)``."""
+    everything). Returns ``(key, score, pred)``; the training counts
+    cache rides along (attach_cached) for the caller's
+    release_cached() contract."""
+    from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
+
     weights, params = nb_train(df, label_col, text_col=text_col)
-    return nb_score(df, weights, params, text_col=text_col, key_col=key_col)
+    scored = nb_score(df, weights, params, text_col=text_col, key_col=key_col)
+    return attach_cached(scored, carried_cached(weights))

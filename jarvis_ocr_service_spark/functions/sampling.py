@@ -258,3 +258,69 @@ def select_to_budget(
         num_partitions=num_partitions,
     )
     return cum.filter(F.col("cum_size") <= int(budget)).drop("_negscore")
+
+
+def upsample_epochs(
+    df: DataFrame,
+    epochs: float,
+    key_col: str = "doc_id",
+    salt: str = "epochs",
+) -> DataFrame:
+    """Deterministic fractional-epoch repetition — the data-recipe
+    upsampling op (training mixtures repeat trusted sources: wiki at
+    2.45 epochs etc.). Every document appears ``floor(epochs)`` times;
+    the hash-selected ``epochs - floor(epochs)`` fraction of documents
+    (the same salted-md5 family as :func:`hash_sample`, so the
+    selection is engine-exact and stable under corpus growth) appears
+    once more. Output = input columns + ``epoch`` (0-based copy
+    index). ``epochs < 1`` degenerates to plain hash-sampling;
+    documents with zero copies are dropped (that IS the semantics —
+    the sampling ops own report-don't-drop variants).
+
+    The fractional threshold is resolved to an integer ONCE, driver-
+    side (``_threshold_signed``), and embedded as a literal in the
+    plan — no float arithmetic crosses the engine boundary.
+
+    Scale shape: ONE codegen projection + explode — no shuffle, no
+    Python; output rows = ceil-ish(epochs) x input. Downstream
+    training order should compose :func:`shuffle_order` over
+    (key, epoch) so repeated copies spread through the epoch stream
+    instead of clustering."""
+    if epochs < 0:
+        raise ValueError("epochs must be nonnegative")
+    base = int(epochs)
+    frac = epochs - base
+    thr = _threshold_signed(min(max(frac, 0.0), 1.0))
+    extra = (
+        (_shifted(F.col(key_col), salt) < F.lit(thr))
+        if frac > 0
+        else F.lit(False)
+    )
+    n_copies = (F.lit(base) + extra.cast("int")).cast("long")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )
+
+
+def upsample_epochs_duck_sql(
+    epochs: float, key_expr: str = "doc_id", salt: str = "epochs"
+) -> str:
+    """DuckDB mirror fragment: ``(n_copies_expr, selected_expr)`` is not
+    enough — emit the full per-row copy-count expression callers embed.
+    Returns the integer n_copies SQL for a row keyed ``key_expr``,
+    using the identical driver-resolved threshold literal."""
+    base = int(epochs)
+    frac = epochs - base
+    if frac <= 0:
+        return f"CAST({base} AS BIGINT)"
+    thr = _threshold_signed(frac)
+    h = shifted_hash_duck_sql(key_expr, salt)
+    return (
+        f"CAST({base} + CASE WHEN ({h}) < {thr} THEN 1 ELSE 0 END AS BIGINT)"
+    )

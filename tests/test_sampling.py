@@ -260,3 +260,60 @@ class TestSelectToBudget:
         with pytest.raises(ValueError, match="budget"):
             select_to_budget(self._base(spark), -1, size_col="sz",
                              score_col="score", key_col="key")
+
+
+def test_upsample_epochs_brute_parity(spark):
+    from jarvis_ocr_service_spark.functions.sampling import (
+        _shifted,
+        _threshold_signed,
+        upsample_epochs,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # ground truth for the fractional selection from the same hash family
+    thr = _threshold_signed(0.45)
+    sel = {
+        r.doc_id
+        for r in df.select("doc_id", _shifted(F.col("doc_id"), "epochs").alias("h"))
+        .filter(F.col("h") < thr)
+        .collect()
+    }
+    got = {}
+    for r in upsample_epochs(df, 2.45).collect():
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    for k in got:
+        got[k].sort()
+    assert got == {
+        i: list(range(3 if i in sel else 2)) for i in range(200)
+    }
+    # the fraction is about right on 200 keys
+    assert 0.30 * 200 < len(sel) < 0.60 * 200
+
+
+def test_upsample_epochs_edge_cases(spark):
+    from jarvis_ocr_service_spark.functions.sampling import upsample_epochs
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    # integer epochs: exactly n copies each, no hash branch
+    rows = upsample_epochs(df, 2.0).collect()
+    assert len(rows) == 200 and {r.epoch for r in rows} == {0, 1}
+    # epochs < 1: plain sampling, epoch always 0
+    sub = upsample_epochs(df, 0.3).collect()
+    assert 0 < len(sub) < 100 and all(r.epoch == 0 for r in sub)
+    # epochs = 0 drops everything; negative rejected
+    assert upsample_epochs(df, 0.0).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsample_epochs(df, -0.1)
+
+
+def test_upsample_epochs_plan_map_only(spark):
+    from jarvis_ocr_service_spark.functions.sampling import upsample_epochs
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    plan = upsample_epochs(df, 1.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
