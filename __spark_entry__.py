@@ -1457,6 +1457,21 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_topk(docs, emb, "scan window merge dup", qvec, k=10, depth=50)
 
 
+def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-k (simsearch.mmr_topk, Carbonell & Goldstein
+    1998): greedy integer selection mmr_q = 7*rel - 3*maxsim over the
+    top-20 quantized-dot candidates, ties on key — the retrieval-
+    diversity op. Oracle = chained MATERIALIZED CTE replaying the
+    identical k rounds (the r5 4^k-inlining lesson applies: each round
+    is referenced twice downstream)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.simsearch import mmr_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    return mmr_topk(emb, qvec, k=5, depth=20)
+
+
 def _q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch upsampling (sampling.upsample_epochs): every doc
     floor(2.45)=2 copies, the hash-selected 45% a third — the data-
@@ -1871,6 +1886,7 @@ QUERIES = {
     "chunk_sliding": _q_chunk_sliding,
     "corpus_divergence": _q_corpus_divergence,
     "upsample_epochs": _q_upsample_epochs,
+    "mmr_topk": _q_mmr_topk,
     "pagerank_dangling": _q_pagerank_dangling,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
@@ -2398,6 +2414,7 @@ def oracle_sql() -> dict[str, str]:
         # the module's own mirror emits the copy count with the same
         # driver-resolved threshold literal; scalar-list generate_series
         "upsample_epochs": _duck_upsample_epochs(2.45),
+        "mmr_topk": _duck_mmr_topk(5, 20, 7, 10),
         # classifier-style per-corpus Laplace surprisal, symmetric:
         # one token-tagged union, the same to_base floor-log2, numerator
         # sums to one row
@@ -2805,6 +2822,61 @@ def _duck_py_tokens(expr: str) -> str:
         f"list_filter(regexp_split_to_array(trim(coalesce({expr}, '')), "
         f"'{_DUCK_WS}'), t -> t != '')"
     )
+
+
+def _duck_mmr_topk(
+    k: int = 5, depth: int = 20, ln: int = 7, ld: int = 10
+) -> str:
+    """Mirror of _q_mmr_topk: quantized candidates, then k greedy
+    rounds as chained MATERIALIZED CTEs (each round's remaining-set is
+    referenced by BOTH the next pick and the next remaining-set —
+    inlining would double the plan per round, the r5 bpe lesson)."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> {a}[i] * {b}[i])) AS BIGINT)"
+        )
+
+    vq = (
+        "list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    pen = ld - ln
+    ctes = [
+        f"""q AS (SELECT {vq} AS vq FROM embeddings WHERE vec_id = 0)""",
+        f"""cands AS MATERIALIZED (
+              SELECT e.vec_id AS key, {vq.replace('embedding', 'e.embedding')} AS vq,
+                     {dot(vq.replace('embedding', 'e.embedding'), 'q.vq')} AS rel
+              FROM embeddings e, q
+              ORDER BY rel DESC, key LIMIT {depth})""",
+        f"""s1 AS MATERIALIZED (
+              SELECT key, vq, rel, CAST(0 AS BIGINT) AS ms
+              FROM cands ORDER BY rel DESC, key LIMIT 1)""",
+    ]
+    for r in range(2, k + 1):
+        prev_m, prev_s = f"m{r - 1}", f"s{r - 1}"
+        src = "cands" if r == 2 else f"m{r - 2}"
+        sim = dot("c.vq", "s.vq")
+        ms = sim if r == 2 else f"greatest(c.ms, {sim})"
+        ctes.append(
+            f"""{prev_m} AS MATERIALIZED (
+              SELECT c.key, c.vq, c.rel, {ms} AS ms
+              FROM {src} c, {prev_s} s WHERE c.key <> s.key)"""
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT key, vq, rel, ms FROM {prev_m}
+              ORDER BY ({ln} * rel - {pen} * ms) DESC, key LIMIT 1)"""
+        )
+    finals = [
+        f"""SELECT CAST({r} AS BIGINT) AS rank, key,
+                   CAST(rel AS BIGINT) AS rel,
+                   CAST({ln} * rel - {pen} * ms AS BIGINT) AS mmr_q
+            FROM s{r}"""
+        for r in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
 
 
 def _duck_upsample_epochs(epochs: float) -> str:

@@ -544,3 +544,107 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= float(threshold))
         .select("key_a", "key_b", "cos_sim")
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 5,
+    depth: int = 20,
+    lambda_: tuple = (7, 10),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
+    top-k: greedily select the candidate maximizing
+    ``λ·rel − (1−λ)·max_sim_to_selected`` — the retrieval-diversity op
+    (RAG context dedup, diverse few-shot mining) that plain top-k
+    lacks: near-duplicate hits crowd out coverage.
+
+    ALL-INTEGER with ``lambda_ = (ln, ld)`` rational (default 7/10):
+    relevance and pairwise similarity are quantized dot products
+    (:func:`quantized_vec`, HALF_UP ×``scale``) and the selection
+    statistic clears the denominator:
+
+        mmr_q = ln * rel − (ld − ln) * maxsim
+        maxsim over the empty selection = 0   (pinned convention)
+
+    ties break on key — a total order, so any engine reproduces the
+    selection sequence exactly. Returns ``(rank, key, rel, mmr_q)``
+    (rank 1-based in selection order).
+
+    Shape: ONE distributed pass builds the top-``depth`` candidate
+    list (TakeOrderedAndProject on the quantized relevance — the
+    corpus-scale stage); the k greedy rounds then run over the
+    persisted ``depth``-row frame with the selected vectors embedded
+    as literals (the kmeans constant-lineage pattern: each round's
+    plan is fresh from the cached candidates, one 1-row collect per
+    round). Cost = corpus top-depth + k × O(depth) — depth and k are
+    retrieval knobs, never corpus-sized."""
+    ln, ld = int(lambda_[0]), int(lambda_[1])
+    if not (0 < ln <= ld):
+        raise ValueError("lambda_ must be a rational in (0, 1] as (num, den)")
+    if k < 1 or depth < k:
+        raise ValueError("need 1 <= k <= depth")
+    qq = [_round_half_up(float(x) * scale) for x in query_vec]
+    qlit = F.array(*[F.lit(v).cast("long") for v in qq])
+    cand = (
+        df.select(
+            F.col(id_col).alias("key"),
+            quantized_vec(F.col(vec_col), scale).alias("_vq"),
+        )
+        .withColumn("rel", _dot_long(F.col("_vq"), qlit))
+        .orderBy(F.desc("rel"), F.col("key"))
+        .limit(int(depth))
+        .persist()
+    )
+    try:
+        selected = []  # rows of (key, rel, mmr_q, vq)
+        for _ in range(int(k)):
+            remaining = cand
+            for s in selected:
+                remaining = remaining.filter(F.col("key") != s[0])
+            if selected:
+                sims = [
+                    _dot_long(
+                        F.col("_vq"),
+                        F.array(*[F.lit(int(v)).cast("long") for v in s[3]]),
+                    )
+                    for s in selected
+                ]
+                maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            else:
+                maxsim = F.lit(0).cast("long")
+            pick = (
+                remaining.withColumn("_ms", maxsim)
+                .withColumn(
+                    "_mmr",
+                    (F.lit(ln) * F.col("rel") - F.lit(ld - ln) * F.col("_ms"))
+                    .cast("long"),
+                )
+                .orderBy(F.desc("_mmr"), F.col("key"))
+                .limit(1)
+                .collect()
+            )
+            if not pick:
+                break  # fewer than k candidates
+            r = pick[0]
+            selected.append((r.key, r.rel, r._mmr, list(r._vq)))
+    finally:
+        cand.unpersist()
+    from pyspark.sql import types as T
+
+    key_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType(), False),
+            T.StructField("key", key_type, True),
+            T.StructField("rel", T.LongType(), True),
+            T.StructField("mmr_q", T.LongType(), True),
+        ]
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, s[0], s[1], s[2]) for i, s in enumerate(selected)], schema
+    )

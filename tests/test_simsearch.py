@@ -257,3 +257,93 @@ def test_embedding_near_dup_auto_sizing_two_corpus_sizes(spark, emb):
             n_base,
             len(exact_twins - found),
         )
+
+
+def _brute_mmr(vecs, qvec, k, depth, ln, ld, scale=1000):
+    import math
+
+    def rhu(x):
+        v = float(x) * scale
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    vq = {i: [rhu(x) for x in v] for i, v in vecs}
+    qq = [rhu(x) for x in qvec]
+    rel = {i: sum(a * b for a, b in zip(vq[i], qq)) for i in vq}
+    cand = sorted(vq, key=lambda i: (-rel[i], i))[:depth]
+    selected = []
+    while len(selected) < k and len(selected) < len(cand):
+        best = None
+        for i in cand:
+            if any(i == s[0] for s in selected):
+                continue
+            ms = max(
+                (sum(a * b for a, b in zip(vq[i], vq[s[0]])) for s in selected),
+                default=0,
+            )
+            mmr = ln * rel[i] - (ld - ln) * ms
+            if best is None or (mmr, -i) > (best[2], -best[0]):
+                best = (i, rel[i], mmr)
+        selected.append(best)
+    return [(r + 1, s[0], s[1], s[2]) for r, s in enumerate(selected)]
+
+
+def test_mmr_brute_parity(spark):
+    from jarvis_ocr_service_spark.functions.simsearch import mmr_topk
+
+    # clustered vectors: plain top-k would pick near-duplicates of the
+    # query cluster; MMR must interleave the other clusters
+    vecs = []
+    for i in range(30):
+        c = i % 3
+        base = [1.0, 0.0] if c == 0 else ([0.0, 1.0] if c == 1 else [0.7, 0.7])
+        vecs.append((i, [base[0] + 0.001 * i, base[1] - 0.001 * i]))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<float>"
+    )
+    qvec = [1.0, 0.05]
+    got = [
+        (r.rank, r.key, r.rel, r.mmr_q)
+        for r in mmr_topk(df, qvec, k=6, depth=15).orderBy("rank").collect()
+    ]
+    assert got == _brute_mmr(vecs, qvec, 6, 15, 7, 10)
+    # at lambda=1/2 the redundancy penalty bites: picks span clusters,
+    # while plain top-6 (the rel order) stays inside the query cluster
+    got_half = [
+        (r.rank, r.key, r.rel, r.mmr_q)
+        for r in mmr_topk(df, qvec, k=6, depth=15, lambda_=(1, 2))
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_half == _brute_mmr(vecs, qvec, 6, 15, 1, 2)
+    assert len({key % 3 for _, key, _, _ in got_half}) >= 2
+    top6_rel = {key % 3 for _, key, _, _ in got[:1]}  # rel leader's cluster
+    assert {key % 3 for _, key, _, _ in got_half} != top6_rel
+
+
+def test_mmr_first_pick_is_max_relevance(spark):
+    from jarvis_ocr_service_spark.functions.simsearch import mmr_topk
+
+    vecs = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = mmr_topk(df, [1.0, 0.0], k=3, depth=10).orderBy("rank").collect()
+    assert rows[0].key == 9  # max dot with the query
+    assert rows[0].mmr_q == 7 * rows[0].rel  # empty-selection maxsim = 0
+
+
+def test_mmr_validation_and_short_candidates(spark):
+    import pytest as _pytest
+
+    from jarvis_ocr_service_spark.functions.simsearch import mmr_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [0.5])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        mmr_topk(df, [1.0], k=0)
+    with _pytest.raises(ValueError):
+        mmr_topk(df, [1.0], k=5, depth=3)
+    with _pytest.raises(ValueError):
+        mmr_topk(df, [1.0], lambda_=(0, 10))
+    # k > candidate count: returns what exists
+    rows = mmr_topk(df, [1.0], k=2, depth=2).collect()
+    assert len(rows) == 2
