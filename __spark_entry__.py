@@ -1472,6 +1472,36 @@ def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(emb, qvec, k=5, depth=20)
 
 
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form dedup (canonical.dedup_canonical — the Dolma/
+    RefinedWeb normalize-before-dedup rule). The fixture docs are
+    distinct, so BOTH engines first union an UPPER(text)||' !!!'
+    mangled twin (key + 100000): every pair collapses to the original
+    key with n_variants = 2 — the reformatting-only duplicates raw
+    exact dedup misses, caught by construction."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.canonical import dedup_canonical
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+    )
+    return dedup_canonical(docs.unionByName(mangled))
+
+
+def _q_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition stats (canonical.script_ratios): exact
+    integer code-point counts in pinned BMP blocks — the CCNet/FineWeb
+    script filter's statistic. One codegen projection; the module
+    ships its own DuckDB mirror."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.canonical import script_ratios
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return script_ratios(docs)
+
+
 def _q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch upsampling (sampling.upsample_epochs): every doc
     floor(2.45)=2 copies, the hash-selected 45% a third — the data-
@@ -1887,6 +1917,8 @@ QUERIES = {
     "corpus_divergence": _q_corpus_divergence,
     "upsample_epochs": _q_upsample_epochs,
     "mmr_topk": _q_mmr_topk,
+    "dedup_canonical": _q_dedup_canonical,
+    "script_ratios": _q_script_ratios,
     "pagerank_dangling": _q_pagerank_dangling,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
@@ -2415,6 +2447,8 @@ def oracle_sql() -> dict[str, str]:
         # driver-resolved threshold literal; scalar-list generate_series
         "upsample_epochs": _duck_upsample_epochs(2.45),
         "mmr_topk": _duck_mmr_topk(5, 20, 7, 10),
+        "dedup_canonical": _duck_dedup_canonical(),
+        "script_ratios": _duck_script_ratios(),
         # classifier-style per-corpus Laplace surprisal, symmetric:
         # one token-tagged union, the same to_base floor-log2, numerator
         # sums to one row
@@ -2877,6 +2911,35 @@ def _duck_mmr_topk(
         for r in range(1, k + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _duck_dedup_canonical() -> str:
+    """Mirror of _q_dedup_canonical: identical mangled-twin union, then
+    the module's own canonical chain; group on the canonical form."""
+    from jarvis_ocr_service_spark.functions.canonical import (
+        canonical_text_duck_sql,
+    )
+
+    canon = canonical_text_duck_sql("text")
+    return f"""
+        WITH u AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 100000, upper(text) || ' !!!'
+                   FROM documents),
+        c AS (SELECT doc_id, {canon} AS cf FROM u)
+        SELECT CAST(min(doc_id) AS BIGINT) AS key,
+               CAST(min(length(cf)) AS BIGINT) AS canon_len,
+               CAST(count(*) AS BIGINT) AS n_variants
+        FROM c GROUP BY cf
+    """
+
+
+def _duck_script_ratios() -> str:
+    from jarvis_ocr_service_spark.functions.canonical import (
+        script_ratios_duck_sql,
+    )
+
+    return script_ratios_duck_sql("documents", "doc_id")
 
 
 def _duck_upsample_epochs(epochs: float) -> str:
