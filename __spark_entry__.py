@@ -1568,6 +1568,20 @@ def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (urls.anchor_texts) over the built pages:
+    (href, anchor, n) corpus-wide — the link-graph relevance signal.
+    Oracle is CLOSED-FORM from the page-construction spec (26 template
+    anchors once per boilerplate page), extractor-independent like
+    page_outlinks."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.urls import anchor_texts
+    from jarvis_ocr_service_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return anchor_texts(pages)
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized PageRank (functions/graph.py — all-integer iteration, so
     an ITERATIVE algorithm is value-exact against a DuckDB mirror of k
@@ -1919,6 +1933,7 @@ QUERIES = {
     "mmr_topk": _q_mmr_topk,
     "dedup_canonical": _q_dedup_canonical,
     "script_ratios": _q_script_ratios,
+    "anchor_texts": _q_anchor_texts,
     "pagerank_dangling": _q_pagerank_dangling,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
@@ -2433,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": _duck_pdf_extract(),
         "prepare_gate": _duck_prepare_gate(),
         "page_outlinks": _duck_page_outlinks(),
+        "anchor_texts": _duck_anchor_texts(),
         "pagerank": _duck_pagerank(5),
         "pagerank_dangling": _duck_pagerank_dangling(5),
         "url_canonical": _duck_url_canonical(),
@@ -4102,6 +4118,25 @@ def _duck_page_outlinks() -> str:
                CASE WHEN doc_id % 3 = 0 THEN '{expected}' ELSE '' END
                  AS links_str
         FROM documents
+    """
+
+
+def _duck_anchor_texts() -> str:
+    """Closed-form oracle from the page-construction spec: boilerplate
+    pages (doc_id % 3 == 0) carry exactly the 26 template anchors once
+    each — 'Category k' for /cat0../cat23, 'About' for /about, 'Terms'
+    for /tos; clean pages none. Independent of any extractor."""
+    return """
+        WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n
+                   FROM documents WHERE doc_id % 3 = 0),
+        pairs AS (
+          SELECT '/cat' || CAST(k AS VARCHAR) AS href,
+                 'Category ' || CAST(k AS VARCHAR) AS anchor
+          FROM (SELECT unnest(generate_series(0, 23)) AS k)
+          UNION ALL SELECT '/about', 'About'
+          UNION ALL SELECT '/tos', 'Terms')
+        SELECT p.href, p.anchor, b.n
+        FROM pairs p CROSS JOIN b WHERE b.n > 0
     """
 
 

@@ -161,3 +161,47 @@ def dedup_by_canonical_url(
         .agg(F.min_by(F.struct(*other), F.col(url_col)).alias("_row"))
         .select("_row.*")
     )
+
+
+ANCHOR_PATTERN = "<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>([^<]*)<"
+
+
+def anchor_texts(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Corpus-wide anchor-text aggregation: ``(href, anchor, n)`` — the
+    link-graph signal search/authority pipelines mine (what the web
+    CALLS a target is a quality/relevance feature the target page
+    itself cannot fake). Anchor = the text run up to the first ``<``
+    after the opening tag (the pinned rule — nested markup inside an
+    anchor contributes nothing, keeping both engines' regex engines in
+    trivial agreement); whitespace-collapsed and trimmed. Non-HTML
+    payloads contribute nothing (the same kind gate as
+    :func:`outlinks_col`; the same tolerant binary->string cast).
+
+    Scale shape: one regexp pass per group index over the page bytes
+    (map-only), explode of the zipped pairs, then ONE groupBy shuffle
+    carrying only (href, anchor) pairs with map-side partial agg."""
+    from jarvis_ocr_service_spark.operators.dispatch import (
+        KIND_HTML,
+        content_kind_col,
+    )
+
+    s = F.col(html_col).cast("string")
+    gate = content_kind_col(F.col(html_col)) == KIND_HTML
+    empty = F.array().cast("array<string>")
+    base = df.select(
+        F.when(gate, F.regexp_extract_all(s, F.lit(ANCHOR_PATTERN), 1))
+        .otherwise(empty)
+        .alias("_h"),
+        F.when(gate, F.regexp_extract_all(s, F.lit(ANCHOR_PATTERN), 2))
+        .otherwise(empty)
+        .alias("_t"),
+    )
+    pair = base.select(
+        F.explode(F.arrays_zip(F.col("_h"), F.col("_t"))).alias("_p")
+    )
+    anchor = F.trim(F.regexp_replace(F.col("_p._t"), r"\s+", " "))
+    return (
+        pair.select(F.col("_p._h").alias("href"), anchor.alias("anchor"))
+        .groupBy("href", "anchor")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -145,3 +145,44 @@ def test_outlink_host_edges(spark):
         ("me.example.com", "other.com"): 2,
         ("me.example.com", "third.org"): 1,
     }
+
+
+def test_anchor_texts_pinned_semantics(spark):
+    from jarvis_ocr_service_spark.functions.urls import anchor_texts
+
+    html1 = (
+        b"<html><body>"
+        b'<a href="/x">Click  Here</a>'
+        b"<a class='nav' href='/x'>Click Here</a>"
+        b'<a href="/y"><b>bold</b> tail</a>'      # anchor cut at first '<' -> ''
+        b'<a href="/z">  spaced   out  </a>'
+        b"</body></html>"
+    )
+    not_html = b"\x89PNG\r\n\x1a\nnot a page <a href='/no'>no</a>"
+    df = spark.createDataFrame(
+        [(1, bytearray(html1)), (2, bytearray(not_html))],
+        "id long, html binary",
+    )
+    got = {(r.href, r.anchor): r.n for r in anchor_texts(df).collect()}
+    assert got == {
+        ("/x", "Click Here"): 2,   # quote styles unify; ws collapses
+        ("/y", ""): 1,             # nested markup -> empty anchor (pinned)
+        ("/z", "spaced out"): 1,
+    }
+
+
+def test_anchor_texts_closed_form_on_built_pages(spark):
+    """Boilerplate pages carry exactly the 26 template anchors once each;
+    clean pages none — the page-construction spec, extractor-independent."""
+    from jarvis_ocr_service_spark.functions.urls import anchor_texts
+    from jarvis_ocr_service_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    n_boiler = pages.filter("url LIKE '%/docs/%'").selectExpr(
+        "CAST(regexp_extract(url, '/docs/(\\\\d+)$', 1) AS LONG) AS doc_id"
+    ).filter("doc_id % 3 = 0").count()
+    got = {(r.href, r.anchor): r.n for r in anchor_texts(pages).collect()}
+    expected = {(f"/cat{k}", f"Category {k}"): n_boiler for k in range(24)}
+    expected[("/about", "About")] = n_boiler
+    expected[("/tos", "Terms")] = n_boiler
+    assert got == expected
