@@ -20,6 +20,21 @@ import argparse
 import sys
 
 
+def _parse_ppl_buckets(arg):
+    """'head, middle' -> ('head', 'middle'); reject unknown names so a
+    typo cannot silently empty (or shrink) the keep-set."""
+    if not arg:
+        return None
+    names = tuple(s.strip() for s in arg.split(",") if s.strip())
+    bad = [n for n in names if n not in ("head", "middle", "tail")]
+    if bad or not names:
+        raise SystemExit(
+            f"--keep-ppl-buckets: unknown bucket name(s) {bad or arg!r} "
+            "(valid: head, middle, tail)"
+        )
+    return names
+
+
 def _session(args):
     from jarvis_ocr_service_spark.session import builder
 
@@ -137,11 +152,7 @@ def main(argv=None) -> int:
             min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold or None,
             pdf_mode=args.pdf_mode,
-            keep_ppl_buckets=(
-                tuple(args.keep_ppl_buckets.split(","))
-                if args.keep_ppl_buckets
-                else None
-            ),
+            keep_ppl_buckets=_parse_ppl_buckets(args.keep_ppl_buckets),
         )
         corpus.write.mode("overwrite").parquet(args.output)
         from jarvis_ocr_service_spark.plans.caching import release_cached

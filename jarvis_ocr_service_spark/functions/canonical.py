@@ -48,13 +48,20 @@ def canonical_text_col(col):
     return F.trim(t)
 
 
+# Java \s = [ \t\n\x0B\f\r]; RE2 \s EXCLUDES vertical tab — every DuckDB
+# mirror must use this explicit class, never RE2 '\s' (the repo's pinned
+# _DUCK_WS lesson, __spark_entry__.py)
+_JAVA_WS = " \\t\\n\\x0b\\f\\r"
+
+
 def canonical_text_duck_sql(expr: str) -> str:
     """EXACT DuckDB mirror of :func:`canonical_text_col` (RE2 'g' flag —
-    DuckDB replaces only the first match without it)."""
+    DuckDB replaces only the first match without it; explicit Java-\\s
+    whitespace class so \\x0B behaves identically)."""
     return (
         "trim(regexp_replace(regexp_replace("
-        f"lower(coalesce({expr}, '')), '[^a-z0-9\\s]+', ' ', 'g'), "
-        "'\\s+', ' ', 'g'))"
+        f"lower(coalesce({expr}, '')), '[^a-z0-9{_JAVA_WS}]+', ' ', 'g'), "
+        f"'[{_JAVA_WS}]+', ' ', 'g'))"
     )
 
 
@@ -118,8 +125,8 @@ def script_ratios_duck_sql(table: str = "documents", key: str = "doc_id") -> str
     """EXACT DuckDB mirror of :func:`script_ratios`."""
     parts = [
         f"{key} AS key",
-        "CAST(length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))"
-        " AS BIGINT) AS n_chars",
+        f"CAST(length(regexp_replace(coalesce(text, ''), '[{_JAVA_WS}]+',"
+        " '', 'g')) AS BIGINT) AS n_chars",
     ]
     for name, block in SCRIPT_BLOCKS:
         parts.append(

@@ -662,10 +662,17 @@ def surprisal_buckets(
     falls out of the ranking for free. One extra shuffle total over
     the surprisal scoring; every post-rank expression is codegen."""
     from jarvis_ocr_service_spark.functions.packing import global_rank
+    from jarvis_ocr_service_spark.plans.caching import (
+        attach_cached,
+        carried_cached,
+    )
 
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     sur = unigram_surprisal(df, text_col=text_col, key_col=key_col)
+    # .select()/.withColumn() strip the cached-deps attribute — hoist
+    # attachments before deriving, re-attach on the returned frame
+    deps = carried_cached(sur)
     ppl = sur.select(
         "key",
         F.when(
@@ -677,6 +684,7 @@ def surprisal_buckets(
         .alias("ppl_q"),
     )
     ranked, n_docs = global_rank(ppl, ["ppl_q", "key"], out_col="pos")
+    deps += carried_cached(ranked)
     n_docs = max(n_docs, 1)
     bucket = F.expr(f"CAST(pos * {int(n_buckets)} AS BIGINT) div {n_docs}")
     if n_buckets == 3:
@@ -687,7 +695,9 @@ def surprisal_buckets(
         )
     else:
         name = F.concat(F.lit("b"), F.col("bucket").cast("string"))
-    return (
-        ranked.withColumn("bucket", bucket.cast("long"))
-        .select("key", "ppl_q", "bucket", name.alias("bucket_name"))
+    return attach_cached(
+        ranked.withColumn("bucket", bucket.cast("long")).select(
+            "key", "ppl_q", "bucket", name.alias("bucket_name")
+        ),
+        deps,
     )

@@ -151,12 +151,15 @@ def prepare_training_data(
             from jarvis_ocr_service_spark.functions.vocab import (
                 surprisal_buckets,
             )
+            from jarvis_ocr_service_spark.plans.caching import carried_cached
 
-            keep = (
-                surprisal_buckets(corpus, text_col="text", key_col="url")
-                .filter(F.col("bucket_name").isin(*keep_ppl_buckets))
-                .select(F.col("key").alias("url"))
-            )
+            sb = surprisal_buckets(corpus, text_col="text", key_col="url")
+            # .filter()/.select() strip the cached-deps attribute — hoist
+            # the attachments onto tail_caches BEFORE deriving from sb
+            tail_caches.extend(carried_cached(sb))
+            keep = sb.filter(
+                F.col("bucket_name").isin(*keep_ppl_buckets)
+            ).select(F.col("key").alias("url"))
             corpus = corpus.join(keep, "url", "left_semi")
         if classifier_reference is not None:
             from jarvis_ocr_service_spark.functions.classifier import (
@@ -209,6 +212,12 @@ def prepare_training_data(
     if not near_dup_threshold:
         from jarvis_ocr_service_spark.plans.caching import attach_cached
 
+        if keep_ppl_buckets or classifier_reference is not None:
+            # the gates run eager plan-build jobs (counts collects, the
+            # rank offsets) plus the final action — persist the shared
+            # upstream so extraction runs once, same as the cluster routes
+            exact = exact.persist()
+            tail_caches.append(exact)
         return attach_cached(finish(exact), tail_caches)
 
     # near-dup collapse: true connected components over the verified pair

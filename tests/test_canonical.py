@@ -24,6 +24,8 @@ CASES = [
     "tabs\tand\nnewlines",
     "unicode: café déjà-vu",  # non-ASCII letters become separators
     "MiXeD 42 Case-42",
+    "vertical\x0btab\x0b here",  # Java \s includes \x0B; RE2 \s doesn't —
+    # the mirrors pin the explicit class
 ]
 
 
@@ -77,12 +79,14 @@ def test_script_ratios_counts(spark):
         (3, "مرحبا"),
         (4, "안녕하세요 abc1"),
         (5, None),
+        (6, "a\x0bb c"),  # \x0B is whitespace to Java AND to the mirror
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
         r.key: (r.n_chars, r.n_latin, r.n_digit, r.n_cjk, r.n_cyrillic, r.n_arabic, r.n_hangul)
         for r in script_ratios(df).collect()
     }
+    assert got[6] == (3, 3, 0, 0, 0, 0, 0)
     assert got[0] == (8, 5, 3, 0, 0, 0, 0)
     assert got[1] == (6, 2, 0, 4, 0, 0, 0)
     assert got[2] == (9, 0, 0, 0, 9, 0, 0)

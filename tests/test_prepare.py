@@ -227,3 +227,29 @@ def test_prepare_classifier_gate(spark):
     assert got == expected
     assert 0 < len(got) < base.count()  # the gate bites both ways
     release_cached(gated)
+
+
+def test_prepare_gates_release_cached_blocks(spark, tmp_path):
+    """The LM-quality gates' persisted frames (surprisal counts, the
+    global-rank ranged frame, NB counts, the gated `exact`) all ride
+    the returned plan's release contract — zero retained blocks after
+    release_cached (the review-pass leak fix)."""
+    from jarvis_ocr_service_spark.plans.caching import carried_cached, release_cached
+    from jarvis_ocr_service_spark.sources.pages import synthesize_pages
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pages = synthesize_pages(spark, 60, num_partitions=2)
+    ref = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    corpus = prepare_training_data(
+        pages,
+        near_dup_threshold=None,
+        keep_ppl_buckets=("head", "middle"),
+        classifier_reference=ref,
+    )
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "gated"))
+    assert len(carried_cached(corpus)) >= 3  # surprisal + rank + nb + exact
+    assert release_cached(corpus) >= 3
+    assert jsc.getPersistentRDDs().size() == before
