@@ -44,6 +44,9 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
     exp = _canon(duck.execute(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp)
+    # empty == empty proves plumbing, not arithmetic (the r5 token_pairs
+    # lesson): every driver oracle row must carry real rows at SF_DIR
+    assert len(got) > 0, f"{name}: vacuous oracle (0 rows) — make it bite"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=0, atol=0)
 
 
