@@ -1472,6 +1472,22 @@ def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(emb, qvec, k=5, depth=20)
 
 
+def _q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + probe (functions/sketch): width=16 /
+    depth=4 over the documents token stream — deliberately NARROW so
+    bucket collisions bite and the probe estimates carry real
+    over-counting (never under). Deterministic salted-md5 cells, so
+    sketch and estimates are value-exact cross-engine."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.sketch import cms_build, cms_estimate
+
+    docs = _tbl(spark, sf_dir, "documents")
+    sk = cms_build(docs, width=16, depth=4)
+    return cms_estimate(
+        sk, ["scan", "window", "merge", "dup", "the", "neverseen"], 16, 4
+    )
+
+
 def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form dedup (canonical.dedup_canonical — the Dolma/
     RefinedWeb normalize-before-dedup rule). The fixture docs are
@@ -1934,6 +1950,7 @@ QUERIES = {
     "dedup_canonical": _q_dedup_canonical,
     "script_ratios": _q_script_ratios,
     "anchor_texts": _q_anchor_texts,
+    "cms_estimates": _q_cms_estimates,
     "pagerank_dangling": _q_pagerank_dangling,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
@@ -2465,6 +2482,9 @@ def oracle_sql() -> dict[str, str]:
         "mmr_topk": _duck_mmr_topk(5, 20, 7, 10),
         "dedup_canonical": _duck_dedup_canonical(),
         "script_ratios": _duck_script_ratios(),
+        "cms_estimates": _duck_cms_estimates(
+            ["scan", "window", "merge", "dup", "the", "neverseen"], 16, 4
+        ),
         # classifier-style per-corpus Laplace surprisal, symmetric:
         # one token-tagged union, the same to_base floor-log2, numerator
         # sums to one row
@@ -2927,6 +2947,40 @@ def _duck_mmr_topk(
         for r in range(1, k + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _duck_cms_estimates(tokens, width: int, depth: int) -> str:
+    """Mirror of _q_cms_estimates via the module's own cell fragment:
+    per-row build unions + the identical probe/min."""
+    from jarvis_ocr_service_spark.functions.sketch import cms_cell_duck_sql
+
+    build = "\n            UNION ALL ".join(
+        f"SELECT {r} AS row, {cms_cell_duck_sql('token', r, width)} AS bucket"
+        " FROM tok"
+        for r in range(depth)
+    )
+    vals = ", ".join(f"('{t}')" for t in tokens)
+    probe_bucket = "CASE p.row " + " ".join(
+        f"WHEN {r} THEN {cms_cell_duck_sql('p.token', r, width)}"
+        for r in range(depth)
+    ) + " END"
+    return f"""
+        WITH tok AS MATERIALIZED (
+            SELECT unnest({_duck_py_tokens("lower(text)")}) AS token
+            FROM documents),
+        cells AS ({build}),
+        sk AS (SELECT row, bucket, count(*) AS n
+               FROM cells GROUP BY row, bucket),
+        p AS (SELECT t.token, r.row
+              FROM (VALUES {vals}) t(token)
+              CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1}))
+                              AS row) r),
+        j AS (SELECT p.token, p.row, coalesce(sk.n, 0) AS n
+              FROM (SELECT token, row, {probe_bucket} AS bucket FROM p) p
+              LEFT JOIN sk USING (row, bucket))
+        SELECT token, CAST(min(n) AS BIGINT) AS est
+        FROM j GROUP BY token
+    """
 
 
 def _duck_dedup_canonical() -> str:
