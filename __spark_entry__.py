@@ -961,6 +961,19 @@ def _q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pack_id", "pack_offset")
 
 
+def _q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembled training packs (packing.pack_texts): the packing
+    chain's final artifact — each pack's space-joined token stream at
+    max_tokens=64 (smaller than many documents, so straddles are real).
+    Concatenation invariant holds at the string level: every pack but
+    the last is exactly 64 tokens."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.packing import pack_texts
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return pack_texts(docs, 64)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge learning (functions/vocab.bpe_merges): k=8 rounds of
     greedy most-frequent adjacent-pair merges at word granularity,
@@ -1974,6 +1987,7 @@ QUERIES = {
     "hash_buckets": _q_hash_buckets,
     "pack_assign": _q_pack_assign,
     "pack_chunks": _q_pack_chunks,
+    "pack_texts": _q_pack_texts,
     "bpe_merges": _q_bpe_merges,
     "bpe_encode": _q_bpe_encode,
     "bpe_merges_char": _q_bpe_merges_char,
@@ -2619,6 +2633,39 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(pack_id * 5000, start)
                         AS BIGINT) AS chunk_tokens
             FROM x
+        """,
+        # the pack_chunks window mirror extended with token slices and an
+        # ordered string_agg — the assembled-pack twin
+        "pack_texts": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, {_duck_py_tokens("lower(text)")} AS toks,
+                     CAST(len(toks) AS BIGINT) AS n
+              FROM documents),
+            c AS (SELECT doc_id, toks, n,
+                         CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT)
+                             AS start
+                  FROM t WHERE n > 0),
+            x AS (SELECT toks, n, start,
+                         unnest(generate_series(start // 64,
+                                 (start + n - 1) // 64)) AS pack_id
+                  FROM c),
+            ch AS (SELECT pack_id,
+                          GREATEST(pack_id * 64, start) - pack_id * 64
+                              AS pack_offset,
+                          GREATEST(pack_id * 64, start) - start AS tok_start,
+                          LEAST((pack_id + 1) * 64, start + n)
+                              - GREATEST(pack_id * 64, start) AS ct_len,
+                          toks
+                   FROM x)
+            SELECT CAST(pack_id AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(ct_len) AS BIGINT) AS n_tokens,
+                   string_agg(
+                     array_to_string(
+                       toks[CAST(tok_start + 1 AS BIGINT)
+                            : CAST(tok_start + ct_len AS BIGINT)], ' '),
+                     ' ' ORDER BY pack_offset) AS text
+            FROM ch GROUP BY pack_id
         """,
         "hash_sample": _duck_hash_sample(0.2, "corpus-v1"),
         "wordlist_flags": f"""

@@ -222,3 +222,70 @@ def pack_chunks(
         .drop("_cum", "_start", "_p0", "_p1", "_cstart", "_cend")
     )
     return attach_cached(out, carried_cached(cum))
+
+
+def pack_texts(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """The packing chain's final artifact: the ASSEMBLED training text
+    per pack — ``(pack_id, n_chunks, n_tokens, text)`` where ``text``
+    is the pack's token stream (chunks in pack order, space-joined;
+    every pack except the last carries exactly ``max_tokens`` tokens —
+    the concatenation invariant, now at the string level). This is the
+    row a trainer's data loader actually reads; EOS insertion belongs
+    to tokenization (compose with bpe_encode_ids downstream).
+
+    Plan: tokenize once (codegen), :func:`pack_chunks`' two-phase
+    prefix sum + explode, a key join to slice each chunk's tokens
+    JVM-side, then ONE pack_id shuffle whose per-group payload is
+    bounded by ``max_tokens`` tokens of text — collect_list here is
+    safe BY CONSTRUCTION (a pack is a fixed-size container; that is
+    the definition of the operator)."""
+    from jarvis_ocr_service_spark.functions.tokens import py_tokens_col
+    from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
+
+    toks = py_tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("_nt"),
+    )
+    chunks = pack_chunks(
+        base.select("_k", "_nt"), max_tokens, token_col="_nt", order_col="_k",
+        num_partitions=num_partitions,
+    )
+    deps = carried_cached(chunks)
+    sliced = chunks.join(base.select("_k", "_toks"), "_k").select(
+        "pack_id",
+        "pack_offset",
+        "chunk_tokens",
+        F.array_join(
+            F.slice(
+                F.col("_toks"),
+                F.col("tok_start").cast("int") + F.lit(1),
+                F.col("chunk_tokens").cast("int"),
+            ),
+            " ",
+        ).alias("_ct"),
+    )
+    out = (
+        sliced.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pack_offset", "_ct"))
+                    ),
+                    lambda s: s["_ct"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return attach_cached(out, deps)

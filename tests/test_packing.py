@@ -141,3 +141,46 @@ def test_cumsum_releases_cached(spark):
     out = with_global_cumsum(df, "doc_id", "n", num_partitions=2)
     out.collect()
     assert release_cached(out) == 1
+
+
+def test_pack_texts_reassembles_token_stream(spark):
+    """The concatenation invariant at the string level: joining all
+    packs in pack_id order reproduces the doc_id-ordered token stream
+    exactly, and every pack but the last carries max_tokens tokens."""
+    from jarvis_ocr_service_spark.functions.packing import pack_texts
+    from jarvis_ocr_service_spark.plans.caching import release_cached
+
+    docs = [
+        (i, " ".join(f"d{i}t{j}" for j in range(3 + (i * 7) % 11)))
+        for i in range(20)
+    ] + [(100, ""), (101, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_texts(df, 16)
+    rows = sorted(out.collect(), key=lambda r: r.pack_id)
+    release_cached(out)
+    stream = []
+    for _, t in sorted(docs):
+        stream.extend((t or "").split())
+    got_stream = " ".join(r.text for r in rows).split()
+    assert got_stream == stream
+    for r in rows[:-1]:
+        assert r.n_tokens == 16 and len(r.text.split()) == 16
+    assert rows[-1].n_tokens == len(stream) - 16 * (len(rows) - 1)
+    # n_chunks counts the documents touching the pack
+    assert all(r.n_chunks >= 1 for r in rows)
+
+
+def test_pack_texts_single_doc_straddle(spark):
+    from jarvis_ocr_service_spark.functions.packing import pack_texts
+    from jarvis_ocr_service_spark.plans.caching import release_cached
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{j}" for j in range(10)))], "doc_id long, text string"
+    )
+    out = pack_texts(df, 4)
+    rows = {r.pack_id: r for r in out.collect()}
+    release_cached(out)
+    assert [rows[i].text for i in range(3)] == [
+        "w0 w1 w2 w3", "w4 w5 w6 w7", "w8 w9",
+    ]
+    assert [rows[i].n_chunks for i in range(3)] == [1, 1, 1]
