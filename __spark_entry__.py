@@ -1045,6 +1045,38 @@ def _q_bpe_encode_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_char(docs, merges)
 
 
+def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip (vocab.bpe_decode_ids): learn 6 char merges,
+    rank the vocab, encode to ids, decode back — the oracle is
+    CLOSED-FORM (`' '.join(py_tokens(text))`, zero unknowns): if ANY
+    stage of the learn->vocab->encode->decode chain corrupts a byte,
+    the round-trip identity breaks. Encode is lossy exactly to the
+    lowercase/whitespace token normalization, nothing else."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.vocab import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_merges_char,
+        bpe_vocab,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in bpe_merges_char(docs.select("text"), 6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    symbols = [
+        r.symbol
+        for r in bpe_vocab(docs.select("text"), 6)
+        .orderBy(F.desc("n"), "symbol")
+        .collect()
+    ]
+    ids = bpe_encode_ids(docs, merges, symbols)
+    return bpe_decode_ids(ids, symbols)
+
+
 def _q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer END product (vocab.bpe_encode_ids): learn 6 char
     merges, build the frequency-ranked symbol table, emit every
@@ -1994,6 +2026,7 @@ QUERIES = {
     "bpe_encode_char": _q_bpe_encode_char,
     "bpe_vocab": _q_bpe_vocab,
     "bpe_encode_ids": _q_bpe_encode_ids,
+    "bpe_roundtrip": _q_bpe_roundtrip,
     "top_tokens": _q_top_tokens,
     "token_pairs": _q_token_pairs,
     "corpus_report": _q_corpus_report,
@@ -2600,6 +2633,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_char": _duck_bpe_encode_char(6),
         "bpe_vocab": _duck_bpe_vocab(6),
         "bpe_encode_ids": _duck_bpe_encode_ids(6),
+        # the round-trip identity IS the oracle: decode(encode(text))
+        # must equal the normalized token stream with zero unknowns
+        "bpe_roundtrip": f"""
+            SELECT doc_id AS key, CAST(0 AS BIGINT) AS n_unknown,
+                   array_to_string({_duck_py_tokens("lower(text)")}, ' ')
+                       AS text
+            FROM documents
+        """,
         "top_tokens": _duck_top_tokens(50),
         "token_pairs": _duck_token_pairs(5),
         "pack_assign": """

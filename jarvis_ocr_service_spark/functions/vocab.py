@@ -701,3 +701,63 @@ def surprisal_buckets(
         ),
         deps,
     )
+
+
+def bpe_decode_ids(
+    df: DataFrame,
+    symbols,
+    ids_col: str = "ids",
+    key_col: str = "key",
+    unk_char: str = "�",
+) -> DataFrame:
+    """The tokenizer round-trip's other half: integer token ids back to
+    the token stream — ``(key, n_unknown, text)``. Decode rule (the
+    exact inverse of the encode conventions): look each id up in the
+    ordered ``symbols`` table, concatenate symbol strings, strip the
+    intra-symbol ``BPE_JOIN`` markers, turn each ``BPE_EOW`` into a
+    word boundary, trim the trailing space. For any document, 
+    ``decode(encode_ids(text)) == ' '.join(py_tokens(text))`` — the
+    lowercased whitespace-normalized token stream (encode is lossy
+    exactly to that normalization, nothing else). Ids outside the
+    table decode to ``unk_char`` and are counted in ``n_unknown``
+    (report, don't hide).
+
+    Plan: ONE Arrow stage with the bounded id->symbol list in closure
+    (same economics as :func:`bpe_encode_ids`); no shuffle."""
+    from pyspark.sql import types as T
+
+    table = list(symbols)
+    key_field = df.schema[key_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("key", key_field, True),
+            T.StructField("n_unknown", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        n_sym = len(table)
+        for b in batches:
+            if not len(b):
+                continue
+            keys, unks, texts = [], [], []
+            for k, ids in zip(b[key_col], b[ids_col]):
+                syms, unk = [], 0
+                for i in ids if ids is not None else []:
+                    if 0 <= i < n_sym:
+                        syms.append(table[i])
+                    else:
+                        syms.append(unk_char)
+                        unk += 1
+                s = "".join(syms).replace(BPE_JOIN, "").replace(BPE_EOW, " ")
+                keys.append(k)
+                unks.append(unk)
+                texts.append(s.rstrip(" "))
+            yield pd.DataFrame(
+                {"key": keys, "n_unknown": unks, "text": texts}
+            )
+
+    return df.select(key_col, ids_col).mapInPandas(gen, schema=out_schema)

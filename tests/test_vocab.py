@@ -551,3 +551,58 @@ def test_surprisal_buckets_n_buckets(spark):
     assert names <= {f"b{i}" for i in range(5)}
     with pytest.raises(ValueError):
         surprisal_buckets(df, n_buckets=0)
+
+
+def test_bpe_decode_roundtrip(spark):
+    """decode(encode_ids(text)) == the lowercased ws-normalized token
+    stream — the full learn->vocab->encode->decode loop closes."""
+    from jarvis_ocr_service_spark.functions.vocab import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_merges_char,
+        bpe_vocab,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "low lower lowest"),
+        (1, "new newer newest lower"),
+        (2, "  MiXeD   Case  low  "),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in bpe_merges_char(df.select("text"), 5)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    symbols = [
+        r.symbol
+        for r in bpe_vocab(df.select("text"), 5)
+        .orderBy(F.desc("n"), "symbol")
+        .collect()
+    ]
+    ids = bpe_encode_ids(df, merges, symbols)
+    got = {
+        r.key: (r.n_unknown, r.text)
+        for r in bpe_decode_ids(ids, symbols).collect()
+    }
+    assert got == {
+        k: (0, " ".join((t or "").lower().split())) for k, t in docs
+    }
+
+
+def test_bpe_decode_unknown_ids(spark):
+    from jarvis_ocr_service_spark.functions.vocab import bpe_decode_ids
+
+    df = spark.createDataFrame(
+        [(0, [0, 99, 1]), (1, None)], "key long, ids array<long>"
+    )
+    got = {
+        r.key: (r.n_unknown, r.text)
+        for r in bpe_decode_ids(df, ["a\x02", "b\x02"]).collect()
+    }
+    assert got[0] == (1, "a �b")  # unk marker kept, EOW -> space
+    assert got[1] == (0, "")
