@@ -1045,6 +1045,31 @@ def _q_bpe_encode_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_char(docs, merges)
 
 
+def _bpe_tables(docs: DataFrame, k: int):
+    """The trained-tokenizer artifacts both bpe_encode_ids and
+    bpe_roundtrip pin: ordered merges + frequency-ranked symbols. ONE
+    definition — two copies could silently drift to different
+    tokenizers and pin different conventions."""
+    from jarvis_ocr_service_spark.functions.vocab import (
+        bpe_merges_char,
+        bpe_vocab,
+    )
+
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in bpe_merges_char(docs.select("text"), k)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    symbols = [
+        r.symbol
+        for r in bpe_vocab(docs.select("text"), k)
+        .orderBy(F.desc("n"), "symbol")
+        .collect()
+    ]
+    return merges, symbols
+
+
 def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer round-trip (vocab.bpe_decode_ids): learn 6 char merges,
     rank the vocab, encode to ids, decode back — the oracle is
@@ -1056,23 +1081,10 @@ def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jarvis_ocr_service_spark.functions.vocab import (
         bpe_decode_ids,
         bpe_encode_ids,
-        bpe_merges_char,
-        bpe_vocab,
     )
 
     docs = _tbl(spark, sf_dir, "documents")
-    merges = [
-        (r.sym_a, r.sym_b)
-        for r in bpe_merges_char(docs.select("text"), 6)
-        .orderBy("merge_round")
-        .collect()
-    ]
-    symbols = [
-        r.symbol
-        for r in bpe_vocab(docs.select("text"), 6)
-        .orderBy(F.desc("n"), "symbol")
-        .collect()
-    ]
+    merges, symbols = _bpe_tables(docs, 6)
     ids = bpe_encode_ids(docs, merges, symbols)
     return bpe_decode_ids(ids, symbols)
 
@@ -1087,25 +1099,10 @@ def _q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, so the whole learn->vocab->encode->ids chain is
     value-checked end-to-end."""
     _ensure_dist(spark)
-    from jarvis_ocr_service_spark.functions.vocab import (
-        bpe_encode_ids,
-        bpe_merges_char,
-        bpe_vocab,
-    )
+    from jarvis_ocr_service_spark.functions.vocab import bpe_encode_ids
 
     docs = _tbl(spark, sf_dir, "documents")
-    merges = [
-        (r.sym_a, r.sym_b)
-        for r in bpe_merges_char(docs.select("text"), 6)
-        .orderBy("merge_round")
-        .collect()
-    ]
-    symbols = [
-        r.symbol
-        for r in bpe_vocab(docs.select("text"), 6)
-        .orderBy(F.desc("n"), "symbol")
-        .collect()
-    ]
+    merges, symbols = _bpe_tables(docs, 6)
     out = bpe_encode_ids(docs, merges, symbols)
     return out.select(
         "key",

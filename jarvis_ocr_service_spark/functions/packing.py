@@ -239,12 +239,15 @@ def pack_texts(
     row a trainer's data loader actually reads; EOS insertion belongs
     to tokenization (compose with bpe_encode_ids downstream).
 
-    Plan: tokenize once (codegen), :func:`pack_chunks`' two-phase
-    prefix sum + explode, a key join to slice each chunk's tokens
-    JVM-side, then ONE pack_id shuffle whose per-group payload is
-    bounded by ``max_tokens`` tokens of text — collect_list here is
-    safe BY CONSTRUCTION (a pack is a fixed-size container; that is
-    the definition of the operator)."""
+    Plan: tokenize ONCE — the token arrays ride THROUGH
+    :func:`pack_chunks`' persisted ranged frame (extra columns pass
+    through the two-phase prefix sum, so no re-tokenize and no key
+    join), chunks slice their tokens JVM-side, then ONE pack_id
+    shuffle whose per-group payload is bounded by ``max_tokens``
+    tokens of text — collect_list here is safe BY CONSTRUCTION (a
+    pack is a fixed-size container; that is the definition of the
+    operator). The assembly extraction is a native struct-field get,
+    not an interpreted lambda (the >100-element HOF rule)."""
     from jarvis_ocr_service_spark.functions.tokens import py_tokens_col
     from jarvis_ocr_service_spark.plans.caching import attach_cached, carried_cached
 
@@ -255,11 +258,11 @@ def pack_texts(
         F.size(toks).cast("long").alias("_nt"),
     )
     chunks = pack_chunks(
-        base.select("_k", "_nt"), max_tokens, token_col="_nt", order_col="_k",
+        base, max_tokens, token_col="_nt", order_col="_k",
         num_partitions=num_partitions,
     )
     deps = carried_cached(chunks)
-    sliced = chunks.join(base.select("_k", "_toks"), "_k").select(
+    sliced = chunks.select(
         "pack_id",
         "pack_offset",
         "chunk_tokens",
@@ -278,12 +281,9 @@ def pack_texts(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
             F.sum("chunk_tokens").cast("long").alias("n_tokens"),
             F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("pack_offset", "_ct"))
-                    ),
-                    lambda s: s["_ct"],
-                ),
+                F.sort_array(
+                    F.collect_list(F.struct("pack_offset", "_ct"))
+                ).getField("_ct"),
                 " ",
             ).alias("text"),
         )

@@ -747,8 +747,17 @@ def bpe_decode_ids(
             for k, ids in zip(b[key_col], b[ids_col]):
                 syms, unk = [], 0
                 for i in ids if ids is not None else []:
-                    if 0 <= i < n_sym:
-                        syms.append(table[i])
+                    # a null element anywhere makes Arrow deliver the row
+                    # as float64 (nan for the null) — int() both restores
+                    # the valid ids and rejects the nan (ValueError), so
+                    # bad elements are COUNTED, never a task crash
+                    try:
+                        ii = int(i)
+                        ok = ii == i and 0 <= ii < n_sym
+                    except (TypeError, ValueError, OverflowError):
+                        ok = False
+                    if ok:
+                        syms.append(table[ii])
                     else:
                         syms.append(unk_char)
                         unk += 1

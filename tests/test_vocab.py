@@ -598,7 +598,8 @@ def test_bpe_decode_unknown_ids(spark):
     from jarvis_ocr_service_spark.functions.vocab import bpe_decode_ids
 
     df = spark.createDataFrame(
-        [(0, [0, 99, 1]), (1, None)], "key long, ids array<long>"
+        [(0, [0, 99, 1]), (1, None), (2, [0, None, 1])],
+        "key long, ids array<long>",
     )
     got = {
         r.key: (r.n_unknown, r.text)
@@ -606,3 +607,7 @@ def test_bpe_decode_unknown_ids(spark):
     }
     assert got[0] == (1, "a �b")  # unk marker kept, EOW -> space
     assert got[1] == (0, "")
+    # a null ELEMENT floats the whole Arrow row (int+None -> float64):
+    # valid ids must still decode, the null counts as unknown, and the
+    # task must not crash (the review-pass finding)
+    assert got[2] == (1, "a �b")
