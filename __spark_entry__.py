@@ -1626,6 +1626,18 @@ def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key event-rate burst detection (temporal.rate_anomalies):
+    hourly windows, 3-sigma integer z-square test with cleared
+    denominators — the crawl/bot-burst flagger. Counts shuffle twice
+    (window, then key), events never move."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.temporal import rate_anomalies
+
+    events = _tbl(spark, sf_dir, "events")
+    return rate_anomalies(events, key_col="user_id", ts_col="ts")
+
+
 def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (urls.anchor_texts) over the built pages:
     (href, anchor, n) corpus-wide — the link-graph relevance signal.
@@ -1993,6 +2005,7 @@ QUERIES = {
     "script_ratios": _q_script_ratios,
     "anchor_texts": _q_anchor_texts,
     "cms_estimates": _q_cms_estimates,
+    "rate_anomalies": _q_rate_anomalies,
     "pagerank_dangling": _q_pagerank_dangling,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
@@ -2716,6 +2729,25 @@ def oracle_sql() -> dict[str, str]:
                         {_duck_py_tokens("lower(text)")},
                         ['nosuchword', 'stream', 'vector'])) > 0 AS flagged
             FROM documents
+        """,
+        # the cleared-denominator z-square mirror; integer window div on
+        # epoch micros (events are TIMESTAMP_NTZ, session tz Etc/UTC)
+        "rate_anomalies": """
+            WITH c AS (SELECT user_id AS key,
+                              epoch_us(CAST(ts AS TIMESTAMP))
+                                  // 3600000000 AS w,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT key, CAST(count(*) AS BIGINT) AS W,
+                         CAST(sum(n) AS BIGINT) AS S,
+                         CAST(sum(n * n) AS BIGINT) AS SS
+                  FROM c GROUP BY key)
+            SELECT c.key,
+                   CAST(c.w * 3600000000 AS BIGINT) AS win_start_us,
+                   c.n,
+                   ((s.W * c.n - s.S) * (s.W * c.n - s.S)
+                    > 9 * (s.W * s.SS - s.S * s.S)) AS flagged
+            FROM c JOIN s USING (key)
         """,
         "change_flags": """
             WITH s AS (SELECT user_id,

@@ -171,3 +171,72 @@ def with_change_flags(
         "changed",
         first | ~F.col(value_col).eqNullSafe(prev),
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_sec: int = 3600,
+    k2: tuple = (9, 1),
+) -> DataFrame:
+    """Per-key event-rate burst detection — the crawl/bot-burst flagger:
+    bucket each key's events into tumbling ``window_sec`` windows and
+    flag windows whose count deviates from the key's own mean by more
+    than k standard deviations. ALL-INTEGER via the cleared-denominator
+    z-square test (``k2 = (num, den)`` is k² as a rational; default
+    (9,1) = 3 sigma):
+
+        flag  <=>  (W*n - S)^2 * den  >  num * (W*SS - S^2)
+
+    where per key W = #windows with events, S = sum of counts, SS = sum
+    of squared counts (exactly z^2 > k^2 with z over the key's observed
+    windows — empty windows are NOT imputed; the statistic is over
+    windows that saw traffic, the form burst detection wants at crawl
+    scale where almost all (key, window) cells are empty). Keys with
+    W = 1 or zero variance flag nothing (their variance term is 0 and
+    the inequality is strict). Returns ``(key, win_start_us, n,
+    flagged)`` for every observed window.
+
+    Overflow envelope (BIGINT): needs (W*n)^2 * den < 2^63 — i.e.
+    W * max_n < 3e9 / sqrt(den) PER KEY; any real per-key traffic fits
+    (document-wide totals never enter the arithmetic).
+
+    Plan: ONE (key, window) partial-agg count shuffle, ONE key-level
+    aggregate of (W, S, SS), then an UNHINTED join back (AQE
+    broadcasts the key table when it fits) and a codegen flag. Both
+    shuffled payloads are counts, never events."""
+    num, den = int(k2[0]), int(k2[1])
+    if num < 0 or den < 1:
+        raise ValueError("k2 must be a nonnegative rational (num, den>=1)")
+    if window_sec < 1:
+        raise ValueError("window_sec must be >= 1")
+    us = int(window_sec) * 1_000_000
+    # integer div, NOT floor(double /) — epoch micros sit near 2^50 and
+    # a double quotient can round across a window boundary
+    win = (
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {us}")
+        .cast("long")
+        .alias("_w")
+    )
+    counts = (
+        df.select(F.col(key_col).alias("key"), win)
+        .groupBy("key", "_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = counts.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("_nw"),
+        F.sum("n").cast("long").alias("_S"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("_SS"),
+    )
+    dev = F.col("_nw") * F.col("n") - F.col("_S")
+    var_num = F.col("_nw") * F.col("_SS") - F.col("_S") * F.col("_S")
+    return (
+        counts.join(stats, "key")
+        .select(
+            "key",
+            (F.col("_w") * us).alias("win_start_us"),
+            "n",
+            (dev * dev * F.lit(den) > F.lit(num) * var_num).alias("flagged"),
+        )
+    )

@@ -173,3 +173,67 @@ def test_range_join_is_equi_join(spark):
 
     with pytest.raises(ValueError):
         range_join_bucketed(l, r, "t", "s", "e", 0)
+
+
+def _brute_anomalies(events, window_sec, num, den):
+    from collections import Counter, defaultdict
+
+    cnt = Counter()
+    for k, us in events:
+        cnt[(k, us // (window_sec * 1_000_000))] += 1
+    per_key = defaultdict(list)
+    for (k, w), n in cnt.items():
+        per_key[k].append((w, n))
+    out = {}
+    for k, wins in per_key.items():
+        W = len(wins)
+        S = sum(n for _, n in wins)
+        SS = sum(n * n for _, n in wins)
+        for w, n in wins:
+            dev = W * n - S
+            out[(k, w * window_sec * 1_000_000)] = (
+                n,
+                dev * dev * den > num * (W * SS - S * S),
+            )
+    return out
+
+
+def test_rate_anomalies_brute_parity_and_burst(spark):
+    from jarvis_ocr_service_spark.functions.temporal import rate_anomalies
+    import datetime as dt
+
+    base = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    events = []
+    # steady key: 2 events/hour for 20 hours; one 40-event burst hour
+    for h in range(20):
+        for j in range(2):
+            events.append((1, base + h * 3_600_000_000 + j * 1000))
+    for j in range(40):
+        events.append((1, base + 20 * 3_600_000_000 + j * 1000))
+    # single-window key: flags nothing (W=1, zero variance)
+    events.append((2, base))
+    df = spark.createDataFrame(
+        [(k, dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(tzinfo=None))
+         for k, us in events],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.key, r.win_start_us): (r.n, r.flagged)
+        for r in rate_anomalies(df, window_sec=3600).collect()
+    }
+    assert got == _brute_anomalies(events, 3600, 9, 1)
+    burst = got[(1, base + 20 * 3_600_000_000)]
+    assert burst == (40, True)
+    assert sum(f for _, f in got.values()) == 1  # ONLY the burst flags
+    assert got[(2, base)] == (1, False)
+
+
+def test_rate_anomalies_validation(spark):
+    from jarvis_ocr_service_spark.functions.temporal import rate_anomalies
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "2026-01-01")], "user_id long, ts string")
+    with _pytest.raises(ValueError):
+        rate_anomalies(df, window_sec=0)
+    with _pytest.raises(ValueError):
+        rate_anomalies(df, k2=(1, 0))
