@@ -496,6 +496,23 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk_quantized(emb, qvec, k=10, n_planes=4, probe_hamming=2)
 
 
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph (simsearch.knn_graph): top-3 banded-LSH
+    candidates per vector by deterministic quantized cosine — the
+    graph-based-curation substrate. 24 planes / 6 bands of 4 bits keeps
+    candidate lists wide on the 500-vector fixture; threshold=-1 ranks
+    ALL candidates (the graph wants neighbors, not a similarity gate).
+    Oracle replicates banding, scoring, symmetrization, and the
+    (cos desc, neighbor) total order exactly."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.simsearch import knn_graph
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return knn_graph(
+        emb, 3, threshold=-1.0, n_planes=24, bands=6, dim=_EMB_DIM
+    )
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, banded-LSH blocked (48 quantized
     sign bits, 6 bands of 8 — band width sized to the ~1000-vector corpus
@@ -2084,6 +2101,7 @@ QUERIES = {
     "lsh_bucketed_topk": _q_lsh_topk,
     "simhash_near_pairs": _q_simhash_pairs,
     "embedding_near_dups": _q_embedding_near_dups,
+    "knn_graph": _q_knn_graph,
     "kmeans_embeddings": _q_kmeans_embeddings,
     "semdedup": _q_semdedup,
     "ivf_topk": _q_ivf_topk,
@@ -2499,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _duck_cosine_topk(),
         "lsh_bucketed_topk": _duck_lsh_topk(4, 2),
         "embedding_near_dups": _duck_embedding_near_dups(0.999, 48, 6),
+        "knn_graph": _duck_knn_graph(3, 24, 6),
         "kmeans_embeddings": _duck_kmeans(4, 3),
         "semdedup": _duck_semdedup(4, 2, 0.99),
         "ivf_topk": _duck_ivf_topk(4, 2, 2, 10),
@@ -4737,6 +4756,58 @@ def _duck_lsh_topk(n_planes: int = 4, probe_hamming: int = 2) -> str:
               FROM cand)
         SELECT vec_id, {_duck_cos_q('dot', 'n2v', 'n2q')} AS cos_sim
         FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+def _duck_knn_graph(k: int = 3, n_planes: int = 24, bands: int = 6) -> str:
+    """Mirror of _q_knn_graph: the banded candidate join of
+    _duck_embedding_near_dups WITHOUT the twin union, then symmetrize +
+    per-key row_number at the identical (cos desc, neighbor) order."""
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        _hyperplanes_quantized,
+    )
+
+    r = n_planes // bands
+    planes = _hyperplanes_quantized(_EMB_DIM, n_planes)
+    bits = [
+        f"(CASE WHEN {_duck_dot_q('vq', '[' + ', '.join(map(str, p)) + ']')}"
+        " >= 0 THEN 1 ELSE 0 END)"
+        for p in planes
+    ]
+    band_keys = [
+        str((1 << r) * b) + " + " + " + ".join(
+            f"({bits[b * r + j]} * {1 << j})" for j in range(r)
+        )
+        for b in range(bands)
+    ]
+    keys_arr = "[" + ", ".join(band_keys) + "]"
+    return f"""
+        WITH v AS (SELECT vec_id, {_duck_quant_vec('embedding')} AS vq
+                   FROM embeddings),
+        banded AS (SELECT vec_id, unnest({keys_arr}) AS bk FROM v),
+        cand AS (SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+                 FROM banded a JOIN banded b
+                 ON a.bk = b.bk AND a.vec_id < b.vec_id),
+        pairs AS (SELECT c.key_a, c.key_b,
+                         {_duck_dot_q('va.vq', 'vb.vq')} AS dot,
+                         {_duck_dot_q('va.vq', 'va.vq')} AS n2a,
+                         {_duck_dot_q('vb.vq', 'vb.vq')} AS n2b
+                  FROM cand c
+                  JOIN v va ON va.vec_id = c.key_a
+                  JOIN v vb ON vb.vec_id = c.key_b),
+        scored AS (SELECT key_a, key_b,
+                          {_duck_cos_q('dot', 'n2a', 'n2b')} AS cos_sim
+                   FROM pairs),
+        sym AS (SELECT key_a AS key, key_b AS neighbor, cos_sim FROM scored
+                UNION ALL
+                SELECT key_b, key_a, cos_sim FROM scored),
+        rk AS (SELECT key, neighbor, cos_sim,
+                      row_number() OVER (PARTITION BY key
+                                         ORDER BY cos_sim DESC, neighbor)
+                          AS rank
+               FROM sym)
+        SELECT key, neighbor, cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM rk WHERE rank <= {k}
     """
 
 

@@ -648,3 +648,72 @@ def mmr_topk(
     return spark.createDataFrame(
         [(i + 1, s[0], s[1], s[2]) for i, s in enumerate(selected)], schema
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int,
+    threshold: float = -1.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: Optional[int] = None,
+    bands: Optional[int] = None,
+    seed: int = 42,
+    scale: int = 1000,
+    max_bucket: int = 0,
+    dim: Optional[int] = None,
+    n_est: Optional[int] = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over an embedding corpus —
+    the substrate of graph-based curation (SemDeDup-style pruning,
+    connected-component topic islands, label propagation): for every
+    vector, its top-``k`` banded-LSH candidates by deterministic
+    quantized cosine. Returns ``(key, neighbor, cos_sim, rank)``
+    (rank 1-based, ties broken on neighbor — a total order).
+
+    Honest recall note: neighbors are ranked AMONG band-colliding
+    candidates (the same tunable recall as
+    :func:`embedding_near_dup_pairs` — more/narrower bands = higher
+    recall/wider candidates); a vector whose true neighbor never
+    shares a band ranks whatever it DID collide with. That is the
+    standard ANN-graph trade at corpus scale.
+
+    Plan: the banded candidate join (bucketed equi-join, `max_bucket`
+    guard available), symmetrize (each undirected pair feeds both
+    endpoints' lists), then ONE window partitioned by key — never a
+    global sort; per-key candidate width is band-bounded."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = embedding_near_dup_pairs(
+        df,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_planes=n_planes,
+        bands=bands,
+        seed=seed,
+        scale=scale,
+        max_bucket=max_bucket,
+        dim=dim,
+        n_est=n_est,
+    )
+    sym = pairs.select(
+        F.col("key_a").alias("key"),
+        F.col("key_b").alias("neighbor"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("key_b").alias("key"),
+            F.col("key_a").alias("neighbor"),
+            "cos_sim",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(
+        F.desc("cos_sim"), F.col("neighbor")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+    )

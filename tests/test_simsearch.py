@@ -347,3 +347,78 @@ def test_mmr_validation_and_short_candidates(spark):
     # k > candidate count: returns what exists
     rows = mmr_topk(df, [1.0], k=2, depth=2).collect()
     assert len(rows) == 2
+
+
+def test_knn_graph_structure_and_brute_parity(spark):
+    """Exact parity with a pure-Python mirror of the SAME banded
+    algorithm (quantized planes, band collision candidates, quantized
+    cosine, (cos desc, neighbor) top-k) — plus graph invariants."""
+    import math as _math
+
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        _hyperplanes_quantized,
+        _round_half_up,
+        knn_graph,
+    )
+
+    vecs = [
+        (i, [_math.sin(0.1 * i + d) for d in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {}
+    for r in knn_graph(df, 3, threshold=-1.0, n_planes=12, bands=4, dim=8).collect():
+        got.setdefault(r.key, []).append((r.rank, r.neighbor, r.cos_sim))
+    for k in got:
+        got[k].sort()
+
+    # brute mirror — float32 round-trip first (array<float> storage)
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vq = {
+        i: [_round_half_up(f32(x) * 1000) for x in v] for i, v in vecs
+    }
+    planes = _hyperplanes_quantized(8, 12)
+    r_bits = 3  # 12 planes / 4 bands
+
+    def band_keys(q):
+        bits = [
+            1 if sum(a * b for a, b in zip(q, p)) >= 0 else 0 for p in planes
+        ]
+        return {
+            (1 << r_bits) * b
+            + sum(bits[b * r_bits + j] << j for j in range(r_bits))
+            for b in range(4)
+        }
+
+    bk = {i: band_keys(q) for i, q in vq.items()}
+    cand = {
+        (a, b)
+        for a in vq
+        for b in vq
+        if a < b and bk[a] & bk[b]
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(vq[a], vq[b]))
+        na = _math.sqrt(sum(x * x for x in vq[a]))
+        nb = _math.sqrt(sum(x * x for x in vq[b]))
+        return 0.0 if na == 0 or nb == 0 else d / (na * nb)
+
+    per_key = {}
+    for a, b in cand:
+        c = cos(a, b)
+        per_key.setdefault(a, []).append((b, c))
+        per_key.setdefault(b, []).append((a, c))
+    brute = {}
+    for k, lst in per_key.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        brute[k] = [(r + 1, n, c) for r, (n, c) in enumerate(lst[:3])]
+    assert got == brute
+    # invariants: no self edges, ranks contiguous from 1, <= k rows/key
+    for k, lst in got.items():
+        assert all(n != k for _, n, _ in lst)
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 3
