@@ -1158,6 +1158,19 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_attribute_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style per-document attribute table (report.attribute_table):
+    the materialize-once, filter-many artifact — token count, lang
+    guess, quality, blocklist hits, and integer unigram surprisal
+    joined per key, every signal from its already-oracled module. The
+    oracle composes the same mirrors (the prepare_gate precedent)."""
+    _ensure_dist(spark)
+    from jarvis_ocr_service_spark.functions.report import attribute_table
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return attribute_table(docs, ["vector", "stream", "nosuchword"])
+
+
 def _q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banned-wordlist filter (wordfilter.wordlist_flags — the C4
     blocklist rule): distinct-banned-word counts per document, pure
@@ -2023,6 +2036,7 @@ QUERIES = {
     "anchor_texts": _q_anchor_texts,
     "cms_estimates": _q_cms_estimates,
     "rate_anomalies": _q_rate_anomalies,
+    "attribute_table": _q_attribute_table,
     "pagerank_dangling": _q_pagerank_dangling,
     "pii_scrub": _q_pii_scrub,
     "contamination": _q_contamination,
@@ -2561,6 +2575,48 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimates": _duck_cms_estimates(
             ["scan", "window", "merge", "dup", "the", "neverseen"], 16, 4
         ),
+        # the prepare_gate composition precedent: every signal's own
+        # mirror, joined per key (n_tokens uses the extraction token
+        # class via _duck_spark_tokens; wordlist/surprisal the py-token
+        # class — each matching its module's pinned semantics)
+        "attribute_table": f"""
+            WITH lang AS ({_duck_lang_id("documents")}),
+            q AS ({_duck_quality_score("documents")}),
+            tok AS (SELECT doc_id,
+                           CAST(CASE WHEN trim(coalesce(text, '')) = ''
+                                THEN 0
+                                ELSE len({_duck_spark_tokens('text')})
+                                END AS BIGINT) AS n_tokens
+                    FROM documents),
+            wl AS (SELECT doc_id,
+                          CAST(len(list_intersect(
+                               {_duck_py_tokens("lower(text)")},
+                               ['nosuchword', 'stream', 'vector']))
+                               AS BIGINT) AS n_banned
+                   FROM documents),
+            utok AS (SELECT doc_id,
+                            unnest({_duck_py_tokens("lower(text)")})
+                                AS token
+                     FROM documents),
+            c AS (SELECT token, count(*) AS n FROM utok GROUP BY token),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+            s AS (SELECT token,
+                         CAST(length(to_base(CAST(greatest(t // n, 1)
+                                                  AS BIGINT), 2)) - 1
+                              AS BIGINT) AS s
+                  FROM c CROSS JOIN tot),
+            x AS (SELECT doc_id, sum(s) AS surprisal
+                  FROM utok JOIN s USING (token) GROUP BY doc_id)
+            SELECT d.doc_id AS key, tok.n_tokens, lang.lang_guess,
+                   q.quality, wl.n_banned,
+                   CAST(coalesce(x.surprisal, 0) AS BIGINT) AS surprisal
+            FROM documents d
+            JOIN tok USING (doc_id)
+            JOIN lang USING (doc_id)
+            JOIN q USING (doc_id)
+            JOIN wl USING (doc_id)
+            LEFT JOIN x USING (doc_id)
+        """,
         # classifier-style per-corpus Laplace surprisal, symmetric:
         # one token-tagged union, the same to_base floor-log2, numerator
         # sums to one row

@@ -118,3 +118,45 @@ def exact_quantiles(
         .select("pct", F.col("_v").alias("value"))
     )
     return attach_cached(out, carried_cached(ranks))
+
+
+def attribute_table(
+    df: DataFrame,
+    blocklist,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The Dolma-style per-document ATTRIBUTE table — the artifact modern
+    pipelines materialize once and filter many times (attributes are
+    cheap to re-threshold; re-running taggers over 100 TB is not):
+    ``(key, n_tokens, lang_guess, quality, n_banned, surprisal)`` —
+    every signal from its already-oracled module (textstats' staged
+    stats, wordfilter's distinct-blocklist hits, vocab's integer
+    unigram surprisal), joined on the key.
+
+    Scale shape: the stats and wordlist columns are map-only; surprisal
+    adds its two vocabulary-bounded shuffles; the final assembly is two
+    key joins (AQE decides broadcast). Write the result next to the
+    corpus and every future filter is a projection + threshold — no
+    tagger re-runs. Surprisal's counts cache rides attach_cached."""
+    from jarvis_ocr_service_spark.functions.textstats import with_text_stats
+    from jarvis_ocr_service_spark.functions.vocab import unigram_surprisal
+    from jarvis_ocr_service_spark.functions.wordfilter import wordlist_flags
+    from jarvis_ocr_service_spark.plans.caching import (
+        attach_cached,
+        carried_cached,
+    )
+
+    stats = with_text_stats(
+        df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text")),
+        text_col="text",
+        stats=("n_tokens", "lang_guess", "quality"),
+    ).select("key", "n_tokens", "lang_guess", "quality")
+    wl = wordlist_flags(df, blocklist, text_col=text_col, key_col=key_col).select(
+        "key", F.col("n_hits").alias("n_banned")
+    )
+    sur = unigram_surprisal(df, text_col=text_col, key_col=key_col)
+    deps = carried_cached(sur)
+    sur = sur.select("key", "surprisal")
+    out = stats.join(wl, "key").join(sur, "key")
+    return attach_cached(out, deps)

@@ -57,3 +57,49 @@ def test_corpus_report_and_histogram(spark):
     assert rep == {"en": (2, 1010, 10, 1000), "fr": (3, 24, 7, 9)}
     hist = {(r.grp, r.size_bucket): r.n_docs for r in size_histogram(df).collect()}
     assert hist == {("en", 3): 1, ("en", 9): 1, ("fr", 2): 1, ("fr", 3): 2}
+
+
+def test_attribute_table_composes_module_outputs(spark):
+    """Each attribute column equals its source module's standalone
+    output — the table is assembly, never a fork; surprisal's counts
+    cache rides the release contract."""
+    from pyspark.sql import functions as F
+
+    from jarvis_ocr_service_spark.functions.report import attribute_table
+    from jarvis_ocr_service_spark.functions.textstats import with_text_stats
+    from jarvis_ocr_service_spark.functions.vocab import unigram_surprisal
+    from jarvis_ocr_service_spark.functions.wordfilter import wordlist_flags
+    from jarvis_ocr_service_spark.plans.caching import carried_cached, release_cached
+
+    docs = [
+        (0, "the quick stream of data flows fast"),
+        (1, "vector vector nosuchword"),
+        (2, ""),
+        (3, None),
+        (4, "plain words without any flags here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    at = attribute_table(df, ["vector", "stream", "nosuchword"])
+    rows = {r.key: r for r in at.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+
+    st = {
+        r.key: r
+        for r in with_text_stats(
+            df.select(F.col("doc_id").alias("key"), "text"),
+            stats=("n_tokens", "lang_guess", "quality"),
+        ).collect()
+    }
+    wl = {r.key: r.n_hits for r in wordlist_flags(df, ["vector", "stream", "nosuchword"]).collect()}
+    sur = unigram_surprisal(df)
+    sv = {r.key: r.surprisal for r in sur.collect()}
+    release_cached(sur)
+    for k in rows:
+        assert rows[k].n_tokens == st[k].n_tokens
+        assert rows[k].lang_guess == st[k].lang_guess
+        assert rows[k].quality == st[k].quality
+        assert rows[k].n_banned == wl[k]
+        assert rows[k].surprisal == sv[k]
+    assert rows[1].n_banned == 2  # distinct blocklist words, repeats once
+    assert carried_cached(at)  # the surprisal counts cache is attached
+    assert release_cached(at) >= 1
