@@ -16,12 +16,15 @@ monotone-decreasing in df), tf contributes linearly, ranking is
 Tokens are lowercased Python-``str.split()`` whitespace tokens (the
 repo's pinned py-token class).
 
-Scale shape (the 10^12-row discipline): the exploded token stream is
-filtered to the query's terms IMMEDIATELY after the split — the
-aggregation only ever sees rows for the handful of query terms, never a
-full inverted index. df/idf for those terms is a tiny frame joined back
-with an explicit broadcast. For repeated-query workloads, build the
-(term, doc, tf) index once with :func:`build_term_index` and reuse it.
+Scale shape (the 10^12-row discipline): single-query scoring never
+tokenizes, explodes, or shuffles at all — per-term tf is ONE
+``regexp_count`` pass per term over the lowered text (token-boundary
+pattern, exactness vs the py-token split pinned by tests), so the plan
+is (1) one map-only pass feeding a global aggregate (n_docs + per-term
+df, collected: a handful of longs), (2) one map-only scoring pass ending
+in TakeOrderedAndProject. Zero Exchange nodes either way. For
+repeated-query workloads, build the (term, doc, tf) index once with
+:func:`build_term_index` and reuse it.
 
 Reference parity note: the reference service has no retrieval; this is
 part of the training-data layer (SURVEY §2 "beyond the reference").
@@ -61,6 +64,28 @@ def build_term_index(
     return ex.groupBy("key", "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
+def _java_quote(s: str) -> str:
+    """java.util.regex.Pattern.quote: literal-quote ``s`` inside a regex
+    (\\Q...\\E with any embedded \\E split exactly as Pattern.quote does)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _term_tf_col(lowered, term: str):
+    """tf of ``term`` under the py-token rule, with NO split/explode: one
+    ``regexp_count`` pass. A py-token equals ``term`` iff the occurrence
+    is bounded by start/end-of-string or the tokenizer's ``\\s`` class
+    (``py_tokens_col`` splits on the same Java ``\\s``). The leading
+    boundary is consuming (at most one whitespace char), the trailing one
+    a lookahead, so adjacent occurrences ("x x x") all count. Exactness
+    vs explode+filter is pinned by tests/test_lexsearch.py."""
+    return F.regexp_count(
+        lowered, F.lit("(^|\\s)" + _java_quote(term) + "(?=\\s|$)")
+    ).cast("long")
+
+
+_DL_PATTERN = "\\S+"  # token count == number of maximal non-\s runs
+
+
 def tfidf_topk_quantized(
     df: DataFrame,
     query: str,
@@ -71,23 +96,52 @@ def tfidf_topk_quantized(
     n_docs: Optional[int] = None,
 ) -> DataFrame:
     """Top-k documents for ``query`` by quantized TF-IDF (module
-    docstring). ``n_docs`` skips the count job when the caller knows the
-    corpus size. Returns (key, score) — score is an exact BIGINT."""
+    docstring). ``n_docs`` skips the count aggregate when the caller knows
+    the corpus size. Returns (key, score) — score is an exact BIGINT.
+
+    Plan shape: zero Exchange — one map-only aggregate pass (n_docs +
+    per-term document frequency, a handful of longs collected), idf
+    computed driver-side with the same integer floor-div, then one
+    map-only scoring pass ending in TakeOrderedAndProject."""
     terms = sorted({t for t in query.lower().split() if t})
     if not terms:
         raise ValueError("empty query")
-    if n_docs is None:
-        n_docs = df.count()
-    index = build_term_index(df, text_col, key_col, terms=terms)
-    dfreq = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfreq.select(
-        "term",
-        F.expr(f"CAST({int(scale) * int(n_docs)} AS BIGINT) div df").alias("idf_q"),
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        *[
+            _term_tf_col(lowered, t).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    scored = (
-        index.join(F.broadcast(idf), "term")
-        .groupBy("key")
-        .agg(F.sum(F.col("tf") * F.col("idf_q")).alias("score"))
+    row = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    if n_docs is None:
+        n_docs = row["_n"]
+    # exact same integer arithmetic as the former SQL `div` per-term rows
+    idf = {
+        i: (int(scale) * int(n_docs)) // int(row[f"_df{i}"])
+        for i in range(len(terms))
+        if row[f"_df{i}"]
+    }
+    if not idf:  # no query term occurs anywhere -> empty result
+        return base.filter(F.lit(False)).select(
+            "key", F.lit(0).cast("long").alias("score")
+        )
+    present = None
+    score = None
+    for i, w in idf.items():
+        tf = F.col(f"_tf{i}")
+        present = (tf > 0) if present is None else (present | (tf > 0))
+        term_score = tf * F.lit(w)
+        score = term_score if score is None else (score + term_score)
+    scored = base.filter(present).select(
+        "key", score.cast("long").alias("score")
     )
     return scored.orderBy(F.desc("score"), F.col("key")).limit(k)
 
@@ -132,13 +186,15 @@ def bm25_topk_quantized(
     avgdl_q < 9.2e18 — at 10^12 docs drop ``scale`` to ~10^3 (ranking
     granularity, not correctness, is what scale buys).
 
-    Scale shape = tfidf_topk_quantized's: tokens are exploded and
-    filtered to the query's terms IMMEDIATELY (never a full inverted
-    index); dl rides along from the same projection so no extra join or
-    scan; per-term df/idf is a broadcast; the final top-k is
-    orderBy+limit (TakeOrderedAndProject). ``n_docs``/``total_tokens``
-    skip the one extra count/sum job when the caller knows them.
-    Returns (key, score) — score an exact BIGINT."""
+    Plan shape = tfidf_topk_quantized's zero-Exchange layout: per-term tf
+    and dl are ``regexp_count`` passes over the lowered text (no
+    tokenize/explode/shuffle); ONE map-only aggregate collects n_docs,
+    total_tokens and per-term df (a handful of longs); idf_q is computed
+    driver-side with the same integer arithmetic; the scoring pass is
+    map-only ending in TakeOrderedAndProject. ``n_docs``/``total_tokens``
+    are accepted for API compatibility (the aggregate is one pass either
+    way and also carries df). Returns (key, score) — score an exact
+    BIGINT."""
     terms = sorted({t for t in query.lower().split() if t})
     if not terms:
         raise ValueError("empty query")
@@ -146,47 +202,61 @@ def bm25_topk_quantized(
     bn, bd = map(int, b)
     if k1n < 0 or k1d <= 0 or bn < 0 or bd <= 0 or bn > bd:
         raise ValueError("k1 must be >= 0 and b in [0, 1] as (num, den)")
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(
         F.col(key_col).alias("key"),
-        _py_tokens_col(F.col(text_col)).alias("_toks"),
+        F.regexp_count(lowered, F.lit(_DL_PATTERN)).cast("long").alias("_dl"),
+        *[
+            _term_tf_col(lowered, t).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    if n_docs is None or total_tokens is None:
-        agg = base.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.size("_toks")).alias("tt"),
-        ).collect()[0]
-        n_docs = n_docs if n_docs is not None else agg.n
-        total_tokens = total_tokens if total_tokens is not None else (agg.tt or 0)
+    row = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_tt"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    if n_docs is None:
+        n_docs = row["_n"]
+    if total_tokens is None:
+        total_tokens = row["_tt"] or 0
     avgdl_q = max(1, int(total_tokens) // max(1, int(n_docs)))
-    index = (
-        base.select(
-            "key",
-            F.size("_toks").alias("dl"),
-            F.explode("_toks").alias("term"),
+    # Robertson idf with the *2+1 trick — exact same integer arithmetic
+    # as the former per-term SQL (scale * (2*(N-df)+1)) div (2*df+1)
+    idf = {
+        i: (int(scale) * (2 * (int(n_docs) - int(row[f"_df{i}"])) + 1))
+        // (2 * int(row[f"_df{i}"]) + 1)
+        for i in range(len(terms))
+        if row[f"_df{i}"]
+    }
+    if not idf:  # no query term occurs anywhere -> empty result
+        return base.filter(F.lit(False)).select(
+            "key", F.lit(0).cast("long").alias("score")
         )
-        .filter(F.col("term").isin(terms))
-        .groupBy("key", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
-    dfreq = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfreq.select(
-        "term",
-        F.expr(
-            f"CAST({int(scale)} AS BIGINT)"
-            f" * (2 * ({int(n_docs)} - df) + 1) div (2 * df + 1)"
-        ).alias("idf_q"),
-    )
-    num = F.col("tf") * F.lit((k1n + k1d) * bd * avgdl_q)
-    den = F.col("tf") * F.lit(k1d * bd * avgdl_q) + F.lit(k1n) * (
-        F.lit((bd - bn) * avgdl_q) + F.lit(bn) * F.col("dl")
-    )
-    scored = (
-        index.join(F.broadcast(idf), "term")
-        .withColumn("_num", num)
-        .withColumn("_den", den)
-        # left-assoc same-precedence: (idf_q * _num) div _den
-        .withColumn("_ts", F.expr("idf_q * _num div _den"))
-        .groupBy("key")
-        .agg(F.sum("_ts").alias("score"))
+    numc = (k1n + k1d) * bd * avgdl_q
+    denc_tf = k1d * bd * avgdl_q
+    denc_const = k1n * (bd - bn) * avgdl_q
+    denc_dl = k1n * bn
+    present = None
+    term_sqls = []
+    for i, w in idf.items():
+        tf = F.col(f"_tf{i}")
+        present = (tf > 0) if present is None else (present | (tf > 0))
+        # integer `div` (SQL expr over the named tf/dl columns), identical
+        # to the former per-row "(idf_q * _num) div _den"; a tf=0 term
+        # contributes exactly 0 (num=0, den>0), matching the join-dropped
+        # row of the exploded form
+        term_sqls.append(
+            f"(CAST({w} AS BIGINT) * (_tf{i} * CAST({numc} AS BIGINT)))"
+            f" div (_tf{i} * CAST({denc_tf} AS BIGINT)"
+            f" + CAST({denc_const} AS BIGINT)"
+            f" + CAST({denc_dl} AS BIGINT) * _dl)"
+        )
+    score = F.expr(" + ".join(term_sqls))
+    scored = base.filter(present).select(
+        "key", score.cast("long").alias("score")
     )
     return scored.orderBy(F.desc("score"), F.col("key")).limit(k)

@@ -47,8 +47,7 @@ from jarvis_ocr_service_spark.operators.extract_image import OcrUnavailable, ocr
 from jarvis_ocr_service_spark.operators.extract_pdf import extract_pdf_text
 from jarvis_ocr_service_spark.operators.textops import (
     normalize_text,
-    text_len_bytes,
-    truncate_text,
+    truncate_with_len,
 )
 from jarvis_ocr_service_spark.operators.validate import validate_text
 
@@ -179,16 +178,24 @@ def extract_document(
             continue  # tier not applicable to this content kind
 
         text, spans = extracted
-        norm = normalize_text(text)
-        if norm != text:
-            # normalization moved characters -> raw-text offsets are stale.
-            # (HTML assembly is normalize-stable so this only triggers for
-            # text/pdf/image payloads with noisy whitespace.) Re-span on
-            # the normalized text: one span per line.
-            spans = _line_spans(norm, spans[0][2] if spans else "text")
+        if kind == dispatch.KIND_HTML:
+            # _assemble output is normalize_text-stable by construction
+            # (each piece normalized + stripped, single-'\n' joins — the
+            # invariant extract_html._assemble documents and
+            # tests/test_extract_html.py pins), so the re-normalize pass
+            # is an identity here: skip the full-text scan.
+            norm = text
+        else:
+            norm = normalize_text(text)
+            if norm != text:
+                # normalization moved characters -> raw-text offsets are
+                # stale. Re-span on the normalized text: one span per line.
+                spans = _line_spans(norm, spans[0][2] if spans else "text")
         is_valid, confidence, reason = validate_text(norm)
         if is_valid:
-            final_text, was_truncated = truncate_text(norm, max_text_bytes)
+            final_text, was_truncated, n_bytes = truncate_with_len(
+                norm, max_text_bytes
+            )
             if was_truncated:
                 spans = _clip_spans(spans, len(final_text))
             return {
@@ -197,7 +204,7 @@ def extract_document(
                 "truncated": was_truncated,
                 "language": lang,
                 "confidence": confidence,
-                "text_len": text_len_bytes(final_text),
+                "text_len": n_bytes,
                 "is_valid": True,
                 "tier": tier,
                 "validation_reason": reason[:MAX_REASON_CHARS] if reason else None,
@@ -251,10 +258,13 @@ def _extract_pinned(
             f"Provider '{tier}' is not available",
         )
     text, spans = extracted
-    norm = normalize_text(text)
-    if norm != text:
-        spans = _line_spans(norm, spans[0][2] if spans else "text")
-    final_text, was_truncated = truncate_text(norm, max_text_bytes)
+    if kind == dispatch.KIND_HTML:
+        norm = text  # _assemble output is normalize-stable (see above)
+    else:
+        norm = normalize_text(text)
+        if norm != text:
+            spans = _line_spans(norm, spans[0][2] if spans else "text")
+    final_text, was_truncated, n_bytes = truncate_with_len(norm, max_text_bytes)
     if was_truncated:
         spans = _clip_spans(spans, len(final_text))
     return {
@@ -264,7 +274,7 @@ def _extract_pinned(
         "language": lang,
         # no validator ran: confidence is the provider-accepted constant
         "confidence": 1.0,
-        "text_len": text_len_bytes(final_text),
+        "text_len": n_bytes,
         "is_valid": True,  # accepted-without-validation (reference mode)
         "tier": tier,
         "validation_reason": None,

@@ -60,7 +60,7 @@ LINK_DENSITY_MAX = 0.33
 
 
 class Block:
-    __slots__ = ("texts", "link_chars", "total_chars", "boiler", "tag")
+    __slots__ = ("texts", "link_chars", "total_chars", "boiler", "tag", "_norm")
 
     def __init__(self, tag: str, boiler: bool):
         self.texts: List[str] = []
@@ -68,6 +68,7 @@ class Block:
         self.total_chars = 0
         self.boiler = boiler
         self.tag = tag
+        self._norm: str | None = None  # lazy normalize_text cache (_assemble)
 
     @property
     def text(self) -> str:
@@ -513,7 +514,12 @@ def _assemble(blocks: List[Block]) -> Tuple[str, List[Tuple[int, int, str]]]:
     spans: List[Tuple[int, int, str]] = []
     pos = 0
     for b in blocks:
-        t = normalize_text(b.text)
+        # cached per block: the cascade assembles the same parsed blocks for
+        # tier-1 and (on escalation) the tier-2 subset — normalize each
+        # block's text once per document, not once per tier.
+        t = b._norm
+        if t is None:
+            t = b._norm = normalize_text(b.text)
         if not t:
             continue
         if parts:

@@ -28,8 +28,30 @@ _RE_MULTI_NL = re.compile(r"\n{3,}")
 _RE_SPACES = re.compile(r" +")
 # Any whitespace other than ' '/'\n', a double space, or a space adjacent
 # to a newline — if absent, the per-line strip+collapse pass is an identity
-# (modulo the final strip), so we can skip it. One C-level scan.
-_RE_ODD_WS = re.compile(r"[^\S\n ]|  | \n|\n ")
+# (modulo the final strip), so we can skip it. The predicate is decomposed
+# into memchr-speed substring checks plus (ASCII fast path) per-char `in`
+# scans — ~4x cheaper than the equivalent alternation regex
+# r"[^\S\n ]|  | \n|\n " on clean text, exactness fuzz-pinned by
+# tests/test_textops.py. [^\S\n ] on ASCII is exactly {\t \v \f \r
+# \x1c-\x1f} (re's \s == str.isspace on every codepoint).
+_RE_ODD_WS_CLASS = re.compile(r"[^\S\n ]")
+
+
+def _needs_line_pass(text: str) -> bool:
+    if "  " in text or " \n" in text or "\n " in text:
+        return True
+    if text.isascii():
+        return (
+            "\t" in text
+            or "\x0b" in text
+            or "\x0c" in text
+            or "\r" in text
+            or "\x1c" in text
+            or "\x1d" in text
+            or "\x1e" in text
+            or "\x1f" in text
+        )
+    return _RE_ODD_WS_CLASS.search(text) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -54,7 +76,7 @@ def normalize_text(text: str) -> str:
         text = _RE_NEWLINES.sub("\n", text)
     if "\n\n\n" in text:
         text = _RE_MULTI_NL.sub("\n\n", text)
-    if _RE_ODD_WS.search(text) is None:
+    if not _needs_line_pass(text):
         # fast path: per-line pass would be an identity; only edge
         # whitespace remains, which strip() handles equivalently.
         return text.strip()
@@ -87,6 +109,27 @@ def truncate_text(text: str, max_bytes: Optional[int] = None) -> Tuple[str, bool
 def text_len_bytes(text: str) -> int:
     """UTF-8 byte length (reference worker.py:199 ``len(t.encode('utf-8'))``)."""
     return len(text.encode("utf-8"))
+
+
+def truncate_with_len(
+    text: str, max_bytes: Optional[int] = None
+) -> Tuple[str, bool, int]:
+    """``truncate_text`` + the final text's UTF-8 byte length, computed from
+    the single encode pass (the cascade previously paid a second full encode
+    via ``text_len_bytes(final_text)``). Identical semantics by construction:
+    untruncated -> len(raw); truncated -> len(cut) after decode backoff."""
+    if max_bytes is None:
+        max_bytes = MAX_TEXT_BYTES
+    raw = text.encode("utf-8")
+    if len(raw) <= max_bytes:
+        return text, False, len(raw)
+    cut = raw[:max_bytes]
+    while cut:
+        try:
+            return cut.decode("utf-8"), True, len(cut)
+        except UnicodeDecodeError:
+            cut = cut[:-1]
+    return "", True, 0
 
 
 # ---------------------------------------------------------------------------

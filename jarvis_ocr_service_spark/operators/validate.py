@@ -46,6 +46,26 @@ _ASCII_LETTERS = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 )
 
+# Garbled-token detector: one C-level regex search deciding whether ANY
+# whitespace-separated token is "garbled" under the loop's exact rule —
+# all-ASCII, >= GARBLED_WORD_MIN_LEN chars, contains a letter, contains no
+# vowel. When it finds nothing (the overwhelmingly common case for real
+# text), n_garbled is 0 and garbled_ratio is 0.0 whatever the word count,
+# so the per-word Python loop can be skipped entirely. Token boundaries
+# match str.split() because re's \s equals str.isspace() on every
+# codepoint; exactness is fuzz-pinned by tests/test_validate.py.
+_GARBLED_NONVOWEL_ASCII = "".join(
+    c for c in map(chr, range(128))
+    if not c.isspace() and c not in "aeiouyAEIOUY"
+)
+_RE_GARBLED_TOKEN = re.compile(
+    r"(?<!\S)(?=[{nv}]*[{cons}])[{nv}]{{{mn},}}(?!\S)".format(
+        nv=re.escape(_GARBLED_NONVOWEL_ASCII),
+        cons="bcdfghjklmnpqrstvwxzBCDFGHJKLMNPQRSTVWXZ",
+        mn=GARBLED_WORD_MIN_LEN,
+    )
+)
+
 # Letter counting is one C-level regex pass (a per-char Python isalpha()
 # loop costs ~15ms on a 50KB doc — this is the validator's hot path).
 # Definition: "letters" = \w minus digits/underscore (Unicode-aware);
@@ -86,21 +106,27 @@ def validate_text(text: str) -> Tuple[bool, float, str]:
     n_alpha = len(_RE_NON_ALPHA.sub("", prefix))
     alpha_ratio = n_alpha / n if n else 0.0
 
-    # Word classification is the validator's hot loop (~500 words/doc):
-    # frozenset.isdisjoint(str) is a C-level scan, ~5x cheaper than a
-    # compiled-regex search per word. Semantics unchanged: for a word that
-    # passed isascii(), "has a letter" == contains [A-Za-z] (the
-    # Unicode-aware [^\W\d_] reduces to exactly that on ASCII), and
-    # "no vowel" == disjoint from aeiouyAEIOUY.
-    n_ascii_words = 0
-    n_garbled = 0
-    for w in prefix.split():
-        if not w.isascii() or _ASCII_LETTERS.isdisjoint(w):
-            continue
-        n_ascii_words += 1
-        if len(w) >= GARBLED_WORD_MIN_LEN and _VOWELS.isdisjoint(w):
-            n_garbled += 1
-    garbled_ratio = (n_garbled / n_ascii_words) if n_ascii_words else 0.0
+    # Word classification was the validator's hot loop (~500 words/doc).
+    # Fast path: one regex search proves no garbled token exists, in which
+    # case garbled_ratio is exactly 0.0 (0/n == 0 and the 0-word branch
+    # also yields 0.0) and neither count is observable — the garbled
+    # failure reason only renders when n_garbled > 0. Only documents that
+    # DO contain a garbled candidate pay the exact counting loop
+    # (frozenset.isdisjoint(str) is a C-level scan per word).
+    if _RE_GARBLED_TOKEN.search(prefix) is None:
+        n_garbled = 0
+        n_ascii_words = 0
+        garbled_ratio = 0.0
+    else:
+        n_ascii_words = 0
+        n_garbled = 0
+        for w in prefix.split():
+            if not w.isascii() or _ASCII_LETTERS.isdisjoint(w):
+                continue
+            n_ascii_words += 1
+            if len(w) >= GARBLED_WORD_MIN_LEN and _VOWELS.isdisjoint(w):
+                n_garbled += 1
+        garbled_ratio = (n_garbled / n_ascii_words) if n_ascii_words else 0.0
 
     lines = [l for l in prefix.split("\n") if l.strip()]
     short_lines = [l for l in lines if len(l) < SHORT_LINE_CHARS]

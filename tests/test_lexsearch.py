@@ -78,16 +78,19 @@ def test_full_index_form(docs_df):
     assert (5, "") not in rows
 
 
-def test_plan_filters_before_agg_and_broadcasts_idf(docs_df):
-    """The query-term filter must sit below the (key, term) aggregation
-    (tiny agg input at 10^12 rows) and the idf join must broadcast."""
+def test_plan_is_map_only_topk(docs_df):
+    """r7 shape: the scoring pass is map-only regexp_count columns ending
+    in TakeOrderedAndProject — zero Exchange, zero joins, no explode (the
+    only shuffle-free plan possible for single-query top-k)."""
     plan = (
         tfidf_topk_quantized(docs_df, "apple banana")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
     # TakeOrdered (top-k) rather than a global sort
     assert "TakeOrderedAndProject" in plan, plan
 
@@ -169,7 +172,7 @@ def test_bm25_params_skip_jobs_and_match(docs_df):
     assert [(r.key, r.score) for r in a] == [(r.key, r.score) for r in b]
 
 
-def test_bm25_plan_filters_before_agg_and_broadcasts_idf(docs_df):
+def test_bm25_plan_is_map_only_topk(docs_df):
     from jarvis_ocr_service_spark.functions.lexsearch import bm25_topk_quantized
 
     plan = (
@@ -178,5 +181,7 @@ def test_bm25_plan_filters_before_agg_and_broadcasts_idf(docs_df):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
