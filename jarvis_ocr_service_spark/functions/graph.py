@@ -139,10 +139,25 @@ def pagerank_quantized(
     init = int(scale) // int(n_nodes)
     base = ((damp_den - damp_num) * init) // damp_den
 
+    rounds = int(max_iters) if until_fixpoint else int(iters)
+    # Lineage policy: the per-round eager localCheckpoint exists to stop
+    # plan growth (measured driver OOM in generateTreeString at ~30
+    # rounds) and to anchor fixpoint mode's per-round comparisons. For a
+    # SHALLOW fixed-iteration run the whole chain compiles into ONE job —
+    # Spark dedupes the repeated e_deg/nodes shuffle stages across rounds
+    # — so skipping the intermediate materializations removes
+    # rounds-many job round-trips and re-reads; a single final
+    # localCheckpoint still materializes and cuts lineage for callers.
+    # (renormalize collects a scalar per round — a separate job each time
+    # — so it must keep per-round materialization or earlier rounds would
+    # recompute quadratically under the lazy chain)
+    deep = until_fixpoint or dangling == "renormalize" or rounds > 8
+
     e_deg = e.join(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
     ).persist()
-    e_deg.count()
+    if deep:
+        e_deg.count()
 
     dangling_nodes = None
     if dangling == "renormalize":
@@ -155,10 +170,9 @@ def pagerank_quantized(
 
     # eager localCheckpoint: materializes AND cuts lineage (module
     # docstring; at cluster scale prefer sc.setCheckpointDir + .checkpoint())
-    ranks = nodes.select(
-        "node", F.lit(init).cast("long").alias("rank")
-    ).localCheckpoint()
-    rounds = int(max_iters) if until_fixpoint else int(iters)
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    if deep:
+        ranks = ranks.localCheckpoint()
     converged = not until_fixpoint
     for _ in range(rounds):
         dm_share = 0
@@ -176,20 +190,20 @@ def pagerank_quantized(
             .groupBy("dst")
             .agg(F.sum("share").alias("inc"))
         )
-        new_ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damp_num} * (coalesce(inc, 0L) + {dm_share}))"
-                        f" div {damp_den}"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()  # eager: materialized + lineage cut
+        new_ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damp_num} * (coalesce(inc, 0L) + {dm_share}))"
+                    f" div {damp_den}"
+                )
+            ).cast("long").alias("rank"),
         )
+        if deep:
+            new_ranks = new_ranks.localCheckpoint()  # materialized + lineage cut
         if until_fixpoint:
             changed = (
                 new_ranks.join(
@@ -204,8 +218,13 @@ def pagerank_quantized(
                 converged = True
                 break
         else:
-            ranks.unpersist()
+            if deep:
+                ranks.unpersist()
             ranks = new_ranks
+    if not deep:
+        # one materialization for the whole chain: lineage cut + the
+        # persisted frame the attach_cached contract promises callers
+        ranks = ranks.localCheckpoint()
     e_deg.unpersist()
     nodes.unpersist()
     if dangling_nodes is not None:
