@@ -2167,8 +2167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oldest-driver-evidence-first: never-checked queries lead, then
     ascending last-green round, insertion order breaking ties. The
     driver samples a prefix, so the stalest evidence always refreshes
-    first and any two consecutive rounds' union covers all queries
-    (the driver checks >= half the suite per round)."""
+    first. Refresh horizon: with a 50-query driver sample over the
+    110-query suite, every query's evidence is refreshed at least once
+    every ceil(110/50) = 3 consecutive rounds (NOT 2 — the sample fell
+    below half the suite when the surface passed 100 queries)."""
     last = _last_checked_rounds()
     order = {name: i for i, name in enumerate(QUERIES)}
     return {
@@ -2660,7 +2662,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         # the pinned sliding-window rule; scalar-list generate_series
-        # (the TABLE form rejects lateral column args — CLAUDE.md);
+        # (DuckDB's TABLE-function generate_series rejects lateral
+        # column parameters; the scalar-list unnest form does not);
         # DuckDB list slices are 1-based end-inclusive, so [s+1 : s+m]
         # is exactly Spark's slice(toks, s+1, m)
         "chunk_sliding": f"""

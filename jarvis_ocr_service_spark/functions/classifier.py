@@ -64,9 +64,21 @@ def nb_train(
     weight, ``params`` = {"prior", "w_unseen", "n_pos", "n_neg", "v"}
     — pass both to :func:`nb_score`. Null labels are rejected (a
     silent default would poison the class totals)."""
-    if df.filter(F.col(label_col).isNull()).limit(1).count() > 0:
-        raise ValueError(f"{label_col} contains NULLs — label every row")
     lab = F.col(label_col).cast("boolean")
+    # doc totals + NULL-label guard in ONE aggregate (the former
+    # standalone filter(...).limit(1).count() guard was a full extra
+    # eager scan of the training frame per call — on prepare's
+    # classifier_reference gate that re-ran the whole gated-corpus plan
+    # at plan-build time; r6 ADVICE item)
+    dtot = df.agg(
+        F.sum(F.when(lab, 1).otherwise(0)).alias("dp"),
+        F.count(F.lit(1)).alias("dn"),
+        F.sum(F.when(F.col(label_col).isNull(), 1).otherwise(0)).alias("nulls"),
+    ).collect()[0]
+    if int(dtot.nulls or 0) > 0:
+        raise ValueError(f"{label_col} contains NULLs — label every row")
+    n_pos, n_docs = int(dtot.dp or 0), int(dtot.dn)
+    n_neg = n_docs - n_pos
     toks = df.select(
         lab.alias("_y"), F.explode(_tokens(F.col(text_col))).alias("token")
     )
@@ -84,12 +96,6 @@ def nb_train(
         F.count(F.lit(1)).alias("v"),
     ).collect()[0]
     n_pos_tok, n_neg_tok, v = int(tot.np), int(tot.nn), int(tot.v)
-    dtot = df.agg(
-        F.sum(F.when(lab, 1).otherwise(0)).alias("dp"),
-        F.count(F.lit(1)).alias("dn"),
-    ).collect()[0]
-    n_pos, n_docs = int(dtot.dp or 0), int(dtot.dn)
-    n_neg = n_docs - n_pos
 
     def _flog2(x: int) -> int:
         return max(int(x), 1).bit_length() - 1

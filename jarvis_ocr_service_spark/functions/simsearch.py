@@ -539,11 +539,14 @@ def embedding_near_dup_pairs(
         "key_b",
     )
     cos = quantized_cosine_col(F.col("vq_a"), F.col("vq_b"))
-    return (
-        pairs.withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= float(threshold))
-        .select("key_a", "key_b", "cos_sim")
-    )
+    out = pairs.withColumn("cos_sim", cos)
+    if float(threshold) > -1.0:
+        out = out.filter(F.col("cos_sim") >= float(threshold))
+    # threshold <= -1 means "rank ALL candidates" (knn_graph's sentinel):
+    # make that structural rather than a float comparison — the quantized
+    # cosine of near-opposite vectors can round to just below -1.0, and a
+    # `>= -1.0` filter would silently drop that edge (r6 ADVICE item).
+    return out.select("key_a", "key_b", "cos_sim")
 
 
 def mmr_topk(

@@ -98,6 +98,18 @@ def prepare_training_data(
     from jarvis_ocr_service_spark.functions.textstats import with_text_stats
     from jarvis_ocr_service_spark.plans.pipeline import run_pipeline
 
+    if keep_ppl_buckets:
+        # validate against the 3-bucket domain up front (the CLI already
+        # does; the library API is a production entry point too and an
+        # unchecked typo like ('Head',) would silently shrink or empty
+        # the output corpus — r6 ADVICE item)
+        bad = set(keep_ppl_buckets) - {"head", "middle", "tail"}
+        if bad:
+            raise ValueError(
+                f"unknown keep_ppl_buckets {sorted(bad)} — "
+                "valid names: head, middle, tail"
+            )
+
     extracted = run_pipeline(pages, pdf_mode=pdf_mode).filter(F.col("is_valid"))
 
     # token split staged once (with_text_stats), not re-split per stat

@@ -176,11 +176,9 @@ def test_prepare_ppl_bucket_gate(spark):
 
     pages = synthesize_pages(spark, 60, num_partitions=2)
     base = prepare_training_data(pages, near_dup_threshold=None)
+    sb = surprisal_buckets(base, text_col="text", key_col="url")
     expected_keep = {
-        r.key
-        for r in surprisal_buckets(base, text_col="text", key_col="url")
-        .filter("bucket_name != 'tail'")
-        .collect()
+        r.key for r in sb.filter("bucket_name != 'tail'").collect()
     }
     gated = prepare_training_data(
         pages, near_dup_threshold=None, keep_ppl_buckets=("head", "middle")
@@ -190,7 +188,22 @@ def test_prepare_ppl_bucket_gate(spark):
     n_base = base.count()
     # equal-population tertiles: the gate keeps ~2/3
     assert abs(len(got) - 2 * n_base / 3) <= 2
+    # suite cache hygiene: release the helper frames too (sb carries the
+    # surprisal counts + global_rank ranged frame; base carries `exact`)
+    release_cached(sb)
+    release_cached(base)
     release_cached(gated)
+
+
+def test_prepare_rejects_unknown_ppl_bucket(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_ppl_buckets"):
+        prepare_training_data(
+            synthesize_pages(spark, 10),
+            near_dup_threshold=None,
+            keep_ppl_buckets=("Head",),
+        )
 
 
 def test_prepare_classifier_gate(spark):
@@ -226,6 +239,7 @@ def test_prepare_classifier_gate(spark):
     release_cached(weights)
     assert got == expected
     assert 0 < len(got) < base.count()  # the gate bites both ways
+    release_cached(base)
     release_cached(gated)
 
 
